@@ -1,0 +1,104 @@
+"""Offline score analysis — the in-framework replacement for ``Result.ipynb``.
+
+Loads the two score-file formats the scoring CLI emits (same formats the
+reference writes in ``main.py:161-214``), joins them against a protocol, and
+reports EER + confusion counts.  Unlike the reference, this is a library
+function + CLI subcommand rather than a notebook.
+
+Score file formats:
+  eval format  (``produce_evaluation_file``): ``utt cm0 cm1`` — two
+      log-softmax outputs; the bonafide score is column 2 (``cm1``).
+  pred format  (``produce_prediction_file``): ``utt score pred`` — bonafide
+      logit and argmax prediction; the score is column 1.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.data.protocols import parse_protocol
+from scl_deepfake_audio_detection_tpu.train.metrics import compute_eer, confusion_counts
+
+
+def load_scores(path: str, fmt: str = "auto") -> Dict[str, float]:
+    """Return utt -> bonafide score.
+
+    ``fmt``: 'eval' (utt cm0 cm1 -> score = cm1), 'pred' (utt score pred ->
+    score = col 1), or 'auto' (pred if the last column parses as an integer
+    class id, else eval).
+    """
+    utts: List[str] = []
+    cols: List[Tuple[float, float]] = []
+    with open(path, "r") as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) < 3:
+                continue
+            utts.append(parts[0])
+            cols.append((float(parts[1]), float(parts[2])))
+    if fmt == "auto":
+        last = np.array([c[1] for c in cols])
+        fmt = "pred" if np.all(last == np.round(last)) and np.all(np.abs(last) <= 1) else "eval"
+    idx = 0 if fmt == "pred" else 1
+    return {u: c[idx] for u, c in zip(utts, cols)}
+
+
+@dataclass
+class EvalReport:
+    eer: float
+    threshold: float
+    n_bonafide: int
+    n_spoof: int
+    confusion: Tuple[int, int, int, int]  # tp, tn, fp, fn at the EER threshold
+
+    def __str__(self) -> str:
+        tp, tn, fp, fn = self.confusion
+        return (
+            f"EER: {self.eer * 100:.4f}%, threshold: {self.threshold:.4f} "
+            f"({self.n_bonafide} bonafide / {self.n_spoof} spoof; "
+            f"tp={tp} tn={tn} fp={fp} fn={fn})"
+        )
+
+
+def score_report(
+    score_path: str,
+    protocol_path: str,
+    fmt: str = "auto",
+    subset: Optional[str] = None,
+) -> EvalReport:
+    """Join a score file with a protocol and compute EER.
+
+    Keys are matched the way ``Result.ipynb`` does: on the extension-less
+    basename of the utterance (so ``LA_E_1000147.flac`` joins ``LA_E_1000147``
+    and ``wav/1.wav`` joins an in-the-wild protocol's ``wav/1.wav``).
+    """
+    scores = load_scores(score_path, fmt=fmt)
+    trials = parse_protocol(protocol_path)
+    if subset is not None:
+        trials = [t for t in trials if t.subset == subset]
+
+    def norm(u: str) -> str:
+        return os.path.basename(u).split(".")[0]
+
+    by_key = {norm(u): s for u, s in scores.items()}
+    tar, non = [], []
+    for t in trials:
+        if t.label is None:
+            continue
+        s = by_key.get(norm(t.utt))
+        if s is None:
+            continue
+        (tar if t.label == 1 else non).append(s)
+    tar_a, non_a = np.asarray(tar), np.asarray(non)
+    eer, thr = compute_eer(tar_a, non_a)
+    return EvalReport(
+        eer=eer,
+        threshold=thr,
+        n_bonafide=len(tar),
+        n_spoof=len(non),
+        confusion=confusion_counts(tar_a, non_a, thr),
+    )

@@ -1,0 +1,66 @@
+"""Explicit plugin registries.
+
+The reference selects datasets with ``importlib.import_module('datautils.'+name)``
+and models/augmentations by ``globals()[name]`` lookups (reference
+``main.py:328-333``, ``datautils/asvspoof_2019_augall_3.py:116-122``), which is
+fragile: only two of its five models are actually importable from the CLI.
+Here every pluggable component self-registers into a typed registry, so config
+names resolve uniformly and unknown names fail with the list of valid choices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional
+
+
+class Registry:
+    """A name -> object registry with a decorator-style ``register``."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self._items: Dict[str, Any] = {}
+
+    def register(self, name: Optional[str] = None, *, aliases: Iterable[str] = ()):
+        """Decorator: ``@MODELS.register("xlsr_linear_nll")``."""
+
+        def deco(obj: Any) -> Any:
+            key = name or getattr(obj, "__name__", None)
+            if key is None:
+                raise ValueError(f"cannot infer a registry name for {obj!r}")
+            for k in (key, *aliases):
+                if k in self._items and self._items[k] is not obj:
+                    raise KeyError(f"duplicate {self.kind} registration: {k!r}")
+                self._items[k] = obj
+            return obj
+
+        return deco
+
+    def get(self, name: str) -> Any:
+        try:
+            return self._items[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown {self.kind} {name!r}; available: {sorted(self._items)}"
+            ) from None
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._items
+
+    def names(self):
+        return sorted(self._items)
+
+
+MODELS = Registry("model")
+DATASETS = Registry("dataset")
+AUGMENTATIONS = Registry("augmentation")
+
+
+def resolve_augmentation(name: str) -> Callable:
+    """Resolve an augmentation-method name from YAML config.
+
+    The reference's ``augmentation_methods`` YAML list holds function names
+    looked up in the dataset module's globals (e.g. ``RawBoost12``,
+    ``background_noise_wrapper`` — ``configs/conf-3-linear.yaml:12``). We keep
+    those public names as registry keys for config compatibility.
+    """
+    return AUGMENTATIONS.get(name)

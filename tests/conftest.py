@@ -1,0 +1,32 @@
+"""Test harness config.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path).  Must set the env before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted"
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
