@@ -1,0 +1,286 @@
+"""Command-line interface.
+
+Flag-compatible with the reference ``main.py:216-300`` (same hyperparameter,
+eval-mode and RawBoost flags; same output-dir naming) so the shell workflows
+in ``02_train.sh``/``03_eval.sh`` port over by swapping the program name.
+Additions over the reference:
+  --analyze/--protocol   in-framework EER reporting (replaces Result.ipynb)
+  --ssl_checkpoint       load pretrained SSL weights (fairseq .pt or HF dir)
+  --ssl_preset tiny      small-architecture run for smoke tests / CI
+  --groups_per_step      anchor groups per sharded train step (global batch)
+  --mesh data,model      device-mesh shape
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native SCL deepfake-audio detection")
+    p.add_argument("--database_path", type=str, default="/your/path/to/data/")
+    # hyperparameters (reference main.py:226-241)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="eval batch size; alias for --groups_per_step in training")
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--min_lr", type=float, default=1e-8)
+    p.add_argument("--max_lr", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--loss", type=str, default="weighted_CCE")
+    p.add_argument("--config", type=str, default="configs/conf-3-linear.yaml")
+    p.add_argument("--padding_type", type=str, default="zero", choices=["zero", "repeat"])
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--model_path", type=str, default=None, help="checkpoint to load")
+    p.add_argument("--comment", type=str, default=None)
+    # eval modes (reference main.py:247-254)
+    p.add_argument("--eval_output", type=str, default=None)
+    p.add_argument("--eval", action="store_true", default=False)
+    p.add_argument("--predict", action="store_true", default=False)
+    p.add_argument("--emb", action="store_true", default=False)
+    # RawBoost knobs (reference main.py:258-298)
+    p.add_argument("--algo", type=int, default=5)
+    p.add_argument("--nBands", type=int, default=5)
+    p.add_argument("--minF", type=int, default=20)
+    p.add_argument("--maxF", type=int, default=8000)
+    p.add_argument("--minBW", type=int, default=100)
+    p.add_argument("--maxBW", type=int, default=1000)
+    p.add_argument("--minCoeff", type=int, default=10)
+    p.add_argument("--maxCoeff", type=int, default=100)
+    p.add_argument("--minG", type=int, default=0)
+    p.add_argument("--maxG", type=int, default=0)
+    p.add_argument("--minBiasLinNonLin", type=int, default=5)
+    p.add_argument("--maxBiasLinNonLin", type=int, default=20)
+    p.add_argument("--N_f", type=int, default=5)
+    p.add_argument("--P", type=int, default=10)
+    p.add_argument("--g_sd", type=int, default=2)
+    p.add_argument("--SNRmin", type=int, default=10)
+    p.add_argument("--SNRmax", type=int, default=40)
+    # TPU-native additions
+    p.add_argument("--groups_per_step", type=int, default=None,
+                   help="anchor groups per train step (default: batch_size)")
+    p.add_argument("--mesh", type=str, default=None, help="mesh shape, e.g. 8,1")
+    p.add_argument("--loss_scope", type=str, default="group", choices=["group", "global"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--ssl_checkpoint", type=str, default=None,
+                   help="pretrained SSL: fairseq xlsr2_300m.pt or HF model dir")
+    p.add_argument("--ssl_preset", type=str, default="xlsr_300m",
+                   choices=["xlsr_300m", "tiny"])
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--out_dir", type=str, default="out")
+    # analysis mode (replaces Result.ipynb)
+    p.add_argument("--analyze", type=str, default=None, help="score file to analyze")
+    p.add_argument("--protocol", type=str, default=None, help="protocol for --analyze")
+    p.add_argument("--score_format", type=str, default="auto",
+                   choices=["auto", "eval", "pred"])
+    p.add_argument("--subset", type=str, default=None)
+    return p
+
+
+def _rawboost_from_args(args):
+    from scl_deepfake_audio_detection_tpu.utils.config import RawBoostConfig
+
+    fields = {f.name for f in dataclasses.fields(RawBoostConfig)}
+    return RawBoostConfig(**{k: getattr(args, k) for k in fields if hasattr(args, k)})
+
+
+def _build_model(args, cfg):
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.utils.registry import MODELS
+
+    ssl = (
+        XLSRConfig.tiny(compute_dtype=args.compute_dtype)
+        if args.ssl_preset == "tiny"
+        else XLSRConfig.xlsr_300m(compute_dtype=args.compute_dtype)
+    )
+    cls = MODELS.get(cfg.model.name)
+    model = cls.from_config(cfg.model, ssl=ssl)
+    return model
+
+
+def _init_params(args, model, rng_key):
+    params = model.init(rng_key)
+    if args.ssl_checkpoint:
+        from scl_deepfake_audio_detection_tpu.models import convert
+
+        if os.path.isdir(args.ssl_checkpoint):
+            ssl_params, _ = convert.load_hf_pretrained(args.ssl_checkpoint)
+        else:
+            ssl_params, _ = convert.load_fairseq_checkpoint(args.ssl_checkpoint)
+        params["ssl"] = ssl_params
+        print(f"loaded pretrained SSL from {args.ssl_checkpoint}")
+    return params
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # --- analysis mode (no model needed) ------------------------------------
+    if args.analyze:
+        from scl_deepfake_audio_detection_tpu.train.analysis import score_report
+
+        if not args.protocol:
+            print("--analyze requires --protocol", file=sys.stderr)
+            return 2
+        rep = score_report(args.analyze, args.protocol, fmt=args.score_format,
+                           subset=args.subset)
+        print(rep)
+        return 0
+
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.data import protocols
+    from scl_deepfake_audio_detection_tpu.data.datasets import (
+        EvalDataset,
+        SCLViewBatchBuilder,
+        resources_from_config,
+        spec_from_config,
+    )
+    from scl_deepfake_audio_detection_tpu.data.loader import EvalLoader, TrainLoader
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+    from scl_deepfake_audio_detection_tpu.train import scoring
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+    from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig, load_config
+    from scl_deepfake_audio_detection_tpu.utils.registry import DATASETS
+
+    cfg = load_config(args.config)
+    cfg.rawboost = _rawboost_from_args(args)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        start_epoch=args.start_epoch,
+        min_lr=args.min_lr,
+        max_lr=args.max_lr,
+        weight_decay=args.weight_decay,
+        loss=args.loss,
+        padding_type=args.padding_type,
+        seed=args.seed,
+        comment=args.comment,
+        compute_dtype=args.compute_dtype,
+        mesh_shape=[int(x) for x in args.mesh.split(",")] if args.mesh else None,
+        loss_scope=args.loss_scope,
+    )
+
+    model = _build_model(args, cfg)
+    engine = Engine(model, train_cfg)
+    rng_key = jax.random.key(args.seed)
+
+    params = _init_params(args, model, rng_key)
+    opt_state = None
+    if args.model_path:
+        if args.model_path.endswith(".pth"):
+            print("note: reference .pth head checkpoints need the matching SSL "
+                  "weights; use train/checkpoint.load_reference_head_checkpoint")
+        else:
+            tree, extra = ckpt.load(args.model_path)
+            params = tree["params"] if "params" in tree else tree
+            print(f"loaded checkpoint {args.model_path} (extra={extra})")
+    params, opt_state = engine.init_state(rng_key, params=params)
+
+    desc = DATASETS.get(cfg.data.name)
+
+    # --- eval/scoring mode ----------------------------------------------------
+    if args.eval:
+        if desc["variant"] is None:
+            _, file_eval = protocols.gen_list_eval_only(args.database_path)
+        else:
+            _, file_eval = protocols.gen_list_scl(args.database_path, "eval")
+        print(f"no. of eval trials {len(file_eval)}")
+        ds = EvalDataset(
+            file_eval,
+            args.database_path,
+            padding_type=args.padding_type,
+            use_eval_subdir=desc["eval_subdir"],
+        )
+        loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
+                            num_workers=args.num_workers)
+        out = args.eval_output or "scores.txt"
+        t0 = time.time()
+
+        def score_fn(wav):
+            return engine.score_step(params, wav)
+
+        if args.emb:
+            def emb_fn(wav):
+                o = model.apply(params, wav, train=False)
+                return o.log_probs, o.emb
+
+            scoring.produce_emb_file(loader, emb_fn, out)
+        elif args.predict:
+            scoring.produce_prediction_file(loader, score_fn, out)
+        else:
+            scoring.produce_evaluation_file(loader, score_fn, out)
+        dt = time.time() - t0
+        print(f"scored {len(file_eval)} utts in {dt:.1f}s "
+              f"({len(file_eval)/dt:.1f} utt/s) -> {out}")
+        return 0
+
+    # --- training mode --------------------------------------------------------
+    spec = spec_from_config(cfg.data.name, cfg.data.kwargs)
+    if spec is None:
+        print("config's dataset is eval-only; pass --eval", file=sys.stderr)
+        return 2
+    spec.repeat_pad = args.padding_type == "repeat"
+    res = resources_from_config(cfg.data.kwargs, cfg.rawboost)
+
+    _, file_train = protocols.gen_list_scl(args.database_path, "train")
+    _, file_dev = protocols.gen_list_scl(args.database_path, "dev")
+    print(f"no. of training trials {len(file_train)}")
+    print(f"no. of validation trials {len(file_dev)}")
+
+    groups = args.groups_per_step or max(args.batch_size, 1)
+    train_builder = SCLViewBatchBuilder(
+        spec, args.database_path, file_train, res, seed=args.seed
+    )
+    dev_builder = SCLViewBatchBuilder(
+        spec, args.database_path, file_dev, res, seed=args.seed + 1
+    )
+    train_loader = TrainLoader(train_builder, groups, shuffle=True,
+                               num_workers=args.num_workers, seed=args.seed)
+    dev_loader = TrainLoader(dev_builder, groups, shuffle=False, drop_last=False,
+                             num_workers=args.num_workers, seed=args.seed)
+
+    save_dir = os.path.join(args.out_dir, train_cfg.model_tag())
+    os.makedirs(save_dir, exist_ok=True)
+    print(f"model tag: {train_cfg.model_tag()}")
+
+    epoch_counter = {"n": train_cfg.start_epoch}
+
+    def train_batches():
+        e = epoch_counter["n"]
+        epoch_counter["n"] += 1
+        return train_loader.epoch(e)
+
+    def log_fn(epoch, record):
+        print(
+            f"epoch {epoch}: lr={record['lr']:.3g} "
+            f"train_loss={record.get('train_loss', float('nan')):.4f} "
+            f"val_loss={record.get('val_loss', float('nan')):.4f} "
+            f"val_acc={record.get('val_accuracy', float('nan')):.4f} "
+            f"({record['seconds']:.1f}s)"
+        )
+
+    t0 = time.time()
+    engine.fit(
+        params,
+        opt_state,
+        train_batches=train_batches,
+        dev_batches=lambda: dev_loader.epoch(0),
+        rng_key=rng_key,
+        save_dir=save_dir,
+        log_fn=log_fn,
+    )
+    print(f"Total training time: {time.time() - t0}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

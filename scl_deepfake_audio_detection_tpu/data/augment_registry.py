@@ -1,0 +1,172 @@
+"""Named augmentation methods — the YAML-facing wrappers.
+
+The reference resolves ``augmentation_methods`` YAML entries to functions via
+``globals()`` in each dataset module, each wrapper handling online/offline
+caching itself (``datautils/asvspoof_2019_augall_3.py:166-374``).  Here every
+method is a registry entry with one signature::
+
+    fn(wav, rng, res, utt_id=None) -> np.ndarray
+
+and caching is one shared code path: offline mode stores/reads PCM16 WAVs at
+``aug_dir/<method>/<utt_id>`` exactly like the reference, which also means the
+offline round-trip returns [-1, 1] floats while the online pydub-family
+methods return int16-scale floats — the same scale asymmetry the reference
+trains with.
+
+Registered names keep the reference spelling (``RawBoost12``,
+``background_noise_wrapper``, ...) so existing YAML configs resolve unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.dsp import augment as A
+from scl_deepfake_audio_detection_tpu.dsp.rawboost import process_rawboost
+from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio, save_wav
+from scl_deepfake_audio_detection_tpu.utils.config import RawBoostConfig
+from scl_deepfake_audio_detection_tpu.utils.registry import AUGMENTATIONS
+
+_AUDIO_EXTS = (".wav", ".mp3", ".flac")
+
+
+def list_audio_files(path: str) -> List[str]:
+    """Recursive audio listing (reference ``audio_augmentor/utils.py:10-18``)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.lower().endswith(_AUDIO_EXTS):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+@dataclass
+class AugmentResources:
+    """Shared context the wrappers need (the reference smuggles these through
+    mutated argparse ``args``, ``asvspoof_2019_augall_3.py:73-77``)."""
+
+    rawboost: RawBoostConfig = field(default_factory=RawBoostConfig)
+    sample_rate: int = 16000
+    noise_path: Optional[str] = None
+    rir_path: Optional[str] = None
+    aug_dir: Optional[str] = None
+    online: bool = True
+    _noise_files: Optional[List[str]] = None
+    _rir_files: Optional[List[str]] = None
+
+    @property
+    def noise_files(self) -> List[str]:
+        if self._noise_files is None:
+            if not self.noise_path:
+                raise ValueError("background_noise requires noise_path (MUSAN)")
+            self._noise_files = list_audio_files(self.noise_path)
+        return self._noise_files
+
+    @property
+    def rir_files(self) -> List[str]:
+        if self._rir_files is None:
+            if not self.rir_path:
+                raise ValueError("reverb requires rir_path (RIRS_NOISES)")
+            self._rir_files = list_audio_files(self.rir_path)
+        return self._rir_files
+
+
+def _cached(method: str):
+    """Wrap a compute fn with the reference's offline cache protocol."""
+
+    def deco(fn: Callable) -> Callable:
+        def wrapper(wav, rng, res: AugmentResources, utt_id: Optional[str] = None):
+            if res.online or not res.aug_dir or not utt_id:
+                return fn(wav, rng, res)
+            cache = os.path.join(res.aug_dir, method, os.path.basename(utt_id))
+            if os.path.exists(cache):
+                return load_audio(cache, res.sample_rate)
+            out = fn(wav, rng, res)
+            # cache as PCM16 like the reference (sf.write subtype='PCM_16');
+            # int16-scale outputs are rescaled to [-1,1] for storage
+            store = out / 32768.0 if np.max(np.abs(out)) > 8.0 else out
+            save_wav(cache, store, res.sample_rate)
+            return out
+
+        wrapper.__name__ = method
+        return wrapper
+
+    return deco
+
+
+@AUGMENTATIONS.register("RawBoost12")
+@_cached("RawBoost12")
+def rawboost12(wav, rng, res):
+    """LnL convolutive + ISD impulsive in series (reference algo 5)."""
+    return process_rawboost(wav, res.sample_rate, res.rawboost, rng, algo=5)
+
+
+def _make_rawboost(name: str, algo: int):
+    @_cached(name)
+    def fn(wav, rng, res, _algo=algo):
+        return process_rawboost(wav, res.sample_rate, res.rawboost, rng, algo=_algo)
+
+    AUGMENTATIONS.register(name)(fn)
+    return fn
+
+
+# the rest of the 8-algo family, addressable from YAML like RawBoost12
+for _name, _algo in [
+    ("RawBoost1", 1), ("RawBoost2", 2), ("RawBoost3", 3), ("RawBoost123", 4),
+    ("RawBoost13", 6), ("RawBoost23", 7), ("RawBoostPar12", 8),
+]:
+    _make_rawboost(_name, _algo)
+
+
+@AUGMENTATIONS.register("background_noise_wrapper", aliases=("background_noise",))
+@_cached("background_noise")
+def background_noise_wrapper(wav, rng, res):
+    noise_file = res.noise_files[int(rng.integers(len(res.noise_files)))]
+    noise = load_audio(noise_file, res.sample_rate)
+    return A.background_noise(wav, noise, rng)
+
+
+@AUGMENTATIONS.register("reverb_wrapper", aliases=("reverb",))
+@_cached("reverb")
+def reverb_wrapper(wav, rng, res):
+    rir_file = res.rir_files[int(rng.integers(len(res.rir_files)))]
+    rir = load_audio(rir_file, res.sample_rate)
+    return A.reverb(wav, rir)
+
+
+@AUGMENTATIONS.register("pitch_wrapper", aliases=("pitch",))
+@_cached("pitch")
+def pitch_wrapper(wav, rng, res):
+    return A.pitch_shift(wav, rng, sr=res.sample_rate)
+
+
+@AUGMENTATIONS.register("speed_wrapper", aliases=("speed",))
+@_cached("speed")
+def speed_wrapper(wav, rng, res):
+    return A.speed(wav, rng)
+
+
+@AUGMENTATIONS.register("volume_wrapper", aliases=("volume",))
+@_cached("volume")
+def volume_wrapper(wav, rng, res):
+    return A.volume(wav, rng)
+
+
+@AUGMENTATIONS.register("gaussian_wrapper", aliases=("gaussian",))
+@_cached("gaussian")
+def gaussian_wrapper(wav, rng, res):
+    return A.gaussian_noise(wav, rng)
+
+
+@AUGMENTATIONS.register("time_mask")
+def time_mask_wrapper(wav, rng, res, utt_id=None):
+    return A.time_mask(wav, rng, sr=res.sample_rate)
+
+
+@AUGMENTATIONS.register("freq_mask")
+def freq_mask_wrapper(wav, rng, res, utt_id=None):
+    return A.freq_mask(wav, rng, sr=res.sample_rate)

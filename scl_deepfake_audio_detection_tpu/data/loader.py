@@ -1,0 +1,129 @@
+"""Host data pipeline: threaded prefetch feeding the device.
+
+Replaces the reference's 8-worker forked ``DataLoader`` (``main.py:379``).
+Item construction (audio IO + DSP) runs in a thread pool — numpy/FFT work
+releases the GIL — while batches are assembled in deterministic index order
+and handed to the device ahead of consumption (double buffering against the
+TPU step).  Shuffling is seeded per epoch, so any run position is exactly
+reproducible (the reference's unseeded worker RNGs are not).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.data.datasets import (
+    EvalDataset,
+    SCLViewBatchBuilder,
+)
+
+
+class TrainLoader:
+    """Yields {'wav': [G, V, T], 'labels': [G, V], 'utts': list} per step."""
+
+    def __init__(
+        self,
+        builder: SCLViewBatchBuilder,
+        groups_per_step: int = 1,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 1234,
+        prefetch: int = 2,
+    ):
+        self.builder = builder
+        self.groups = groups_per_step
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.builder)
+        return n // self.groups if self.drop_last else -(-n // self.groups)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        order = np.arange(len(self.builder))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            ).shuffle(order)
+        if self.drop_last:
+            order = order[: len(order) - len(order) % self.groups]
+
+        steps = [order[i : i + self.groups] for i in range(0, len(order), self.groups)]
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for step_idx in steps:
+                        if stop.is_set():
+                            return
+                        items = list(
+                            pool.map(lambda i: self.builder.build(int(i), epoch), step_idx)
+                        )
+                        utts = [u for u, _, _ in items]
+                        wav = np.stack([w for _, w, _ in items])
+                        labels = np.stack([l for _, _, l in items])
+                        out_q.put({"wav": wav, "labels": labels, "utts": utts})
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    """Yields (wav [B, cut], utt_ids) with a fixed batch shape — the final
+    short batch is padded up (and the pad rows dropped by the caller via the
+    returned utt list length) so XLA compiles exactly one eval program."""
+
+    def __init__(
+        self,
+        dataset: EvalDataset,
+        batch_size: int = 32,
+        num_workers: int = 4,
+        pad_final: bool = True,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.num_workers = max(1, num_workers)
+        self.pad_final = pad_final
+
+    def __len__(self) -> int:
+        return -(-len(self.ds) // self.bs)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        idxs = list(range(len(self.ds)))
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for i in range(0, len(idxs), self.bs):
+                chunk = idxs[i : i + self.bs]
+                items = list(pool.map(self.ds.get, chunk))
+                wav = np.stack([w for w, _ in items])
+                utts = [u for _, u in items]
+                if self.pad_final and len(chunk) < self.bs:
+                    pad = np.zeros((self.bs - len(chunk), wav.shape[1]), wav.dtype)
+                    wav = np.concatenate([wav, pad])
+                yield wav, utts

@@ -1,0 +1,36 @@
+"""Uniform model contract.
+
+Every model in the zoo is a frozen dataclass (hashable -> usable as a jit
+static argument) exposing:
+
+  init(key) -> params                         parameter pytree
+  apply(params, wav, train, rng) -> ModelOutput
+  loss(output, labels) -> dict[str, scalar]   named loss terms
+
+This replaces the reference's implicit contract — ``forward(x) ->
+(log_probs, feats, emb)`` in train mode / ``log_probs`` in eval mode plus a
+``model.loss(...)`` dict (``model/wav2vec2_linear_nll.py:139-192``,
+``main.py:66-68``) — with one explicit, mode-free signature: ``apply`` always
+returns the full ``ModelOutput`` and ``train`` only controls dropout/SSL
+freezing, never the return type.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+class ModelOutput(NamedTuple):
+    log_probs: jnp.ndarray  # [N, num_classes] log-softmax outputs
+    feats: jnp.ndarray  # [N, T, D] frame-level features (pre-activation)
+    emb: jnp.ndarray  # [N, D] utterance embedding
+
+
+def scores_from_log_probs(log_probs: jnp.ndarray) -> jnp.ndarray:
+    """Bonafide detection score = log-prob of class 1 (reference
+    ``main.py:193``: ``score = cm[1]``)."""
+    return log_probs[..., 1]

@@ -1,0 +1,268 @@
+"""Checkpoint converters: fairseq / HuggingFace wav2vec2 -> XLSR param pytree.
+
+The reference depends on the fairseq ``xlsr2_300m.pt`` checkpoint
+(``model/xlsr.py:14-15``, downloaded by ``01_download_pretrained.sh:7``).
+This module maps either that checkpoint's state dict or a HuggingFace
+``Wav2Vec2Model`` (e.g. ``facebook/wav2vec2-xls-r-300m``) state dict onto the
+param pytree of ``models/xlsr.py``, so users can bring their existing
+pretrained weights to TPU.
+
+Layout differences handled here:
+- torch Linear weights are [out, in]     -> stored [in, out]
+- torch Conv1d weights are [out, in, K]  -> stored [K, in, out] (lax 'WIO')
+- the positional conv is weight-normalized in torch (dim=2); the g/v pair is
+  contracted to a plain kernel at conversion time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Any]
+
+
+def _np(t) -> Array:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _lin(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {
+        "w": _np(sd[f"{prefix}.weight"]).T.copy(),
+        "b": _np(sd[f"{prefix}.bias"]).copy(),
+    }
+
+
+def _ln(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]).copy(),
+        "bias": _np(sd[f"{prefix}.bias"]).copy(),
+    }
+
+
+def _conv(sd: StateDict, prefix: str, bias: bool = True) -> Dict[str, Array]:
+    p = {"w": np.transpose(_np(sd[f"{prefix}.weight"]), (2, 1, 0)).copy()}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"]).copy()
+    return p
+
+
+def _weight_norm_conv(g: Array, v: Array, bias: Array) -> Dict[str, Array]:
+    """Contract torch ``weight_norm(conv, dim=2)``: w = g * v / ||v||_(0,1)."""
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=(0, 1), keepdims=True))
+    w = (g.astype(np.float64) * v.astype(np.float64) / norm).astype(v.dtype)
+    return {"w": np.transpose(w, (2, 1, 0)).copy(), "b": _np(bias).copy()}
+
+
+def config_from_fairseq(ckpt: Mapping[str, Any]) -> XLSRConfig:
+    """Best-effort architecture read-out from a fairseq checkpoint dict."""
+    cfg = ckpt.get("cfg") or ckpt.get("args")
+    model_cfg = None
+    if isinstance(cfg, Mapping):
+        model_cfg = cfg.get("model", cfg)
+    if model_cfg is None:
+        return XLSRConfig.xlsr_300m()
+
+    def get(name, default):
+        if isinstance(model_cfg, Mapping):
+            return model_cfg.get(name, default)
+        return getattr(model_cfg, name, default)
+
+    conv_spec = get("conv_feature_layers", None)
+    conv_layers = XLSRConfig.xlsr_300m().conv_layers
+    if isinstance(conv_spec, str):
+        conv_layers = tuple(tuple(t) for t in eval(conv_spec))  # fairseq stores a literal
+    return XLSRConfig(
+        conv_layers=conv_layers,
+        conv_bias=bool(get("conv_bias", True)),
+        encoder_dim=int(get("encoder_embed_dim", 1024)),
+        encoder_layers=int(get("encoder_layers", 24)),
+        ffn_dim=int(get("encoder_ffn_embed_dim", 4096)),
+        num_heads=int(get("encoder_attention_heads", 16)),
+        pos_conv_kernel=int(get("conv_pos", 128)),
+        pos_conv_groups=int(get("conv_pos_groups", 16)),
+        dropout=float(get("dropout", 0.0)),
+        attention_dropout=float(get("attention_dropout", 0.0)),
+        activation_dropout=float(get("activation_dropout", 0.0)),
+    )
+
+
+def from_fairseq_state_dict(sd: StateDict, cfg: XLSRConfig) -> Dict[str, Any]:
+    """Map a fairseq ``Wav2Vec2Model`` state dict (the ``model`` entry of
+    ``xlsr2_300m.pt``) to the XLSR pytree.
+
+    fairseq key scheme (extractor_mode='layer_norm'):
+      feature_extractor.conv_layers.{i}.0.*     conv
+      feature_extractor.conv_layers.{i}.2.1.*   per-block LayerNorm
+      layer_norm.*                              post-extractor LN
+      post_extract_proj.*                       512 -> 1024
+      encoder.pos_conv.0.{weight_g,weight_v,bias}
+      encoder.layers.{i}.self_attn.{q,k,v,out}_proj.*
+      encoder.layers.{i}.{self_attn_layer_norm,fc1,fc2,final_layer_norm}.*
+      encoder.layer_norm.*                      final LN
+    """
+    convs = []
+    for i in range(len(cfg.conv_layers)):
+        convs.append(
+            {
+                "conv": _conv(sd, f"feature_extractor.conv_layers.{i}.0", cfg.conv_bias),
+                "ln": _ln(sd, f"feature_extractor.conv_layers.{i}.2.1"),
+            }
+        )
+
+    if "encoder.pos_conv.0.weight_g" in sd:
+        pos_conv = _weight_norm_conv(
+            _np(sd["encoder.pos_conv.0.weight_g"]),
+            _np(sd["encoder.pos_conv.0.weight_v"]),
+            sd["encoder.pos_conv.0.bias"],
+        )
+    else:  # parametrized form (newer torch)
+        pos_conv = _weight_norm_conv(
+            _np(sd["encoder.pos_conv.0.parametrizations.weight.original0"]),
+            _np(sd["encoder.pos_conv.0.parametrizations.weight.original1"]),
+            sd["encoder.pos_conv.0.bias"],
+        )
+
+    layers = []
+    for i in range(cfg.encoder_layers):
+        pre = f"encoder.layers.{i}"
+        layers.append(
+            {
+                "ln_attn": _ln(sd, f"{pre}.self_attn_layer_norm"),
+                "attn": {
+                    "q": _lin(sd, f"{pre}.self_attn.q_proj"),
+                    "k": _lin(sd, f"{pre}.self_attn.k_proj"),
+                    "v": _lin(sd, f"{pre}.self_attn.v_proj"),
+                    "o": _lin(sd, f"{pre}.self_attn.out_proj"),
+                },
+                "ln_ffn": _ln(sd, f"{pre}.final_layer_norm"),
+                "fc1": _lin(sd, f"{pre}.fc1"),
+                "fc2": _lin(sd, f"{pre}.fc2"),
+            }
+        )
+
+    return _assemble(convs, sd, pos_conv, layers, post_ln="layer_norm",
+                     proj="post_extract_proj", final_ln="encoder.layer_norm")
+
+
+def from_hf_state_dict(sd: StateDict, cfg: XLSRConfig) -> Dict[str, Any]:
+    """Map a HuggingFace ``Wav2Vec2Model`` state dict (stable-layer-norm
+    variant, i.e. ``do_stable_layer_norm=True, feat_extract_norm='layer'`` —
+    the xls-r-300m architecture)."""
+    sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
+    convs = []
+    for i in range(len(cfg.conv_layers)):
+        convs.append(
+            {
+                "conv": _conv(sd, f"feature_extractor.conv_layers.{i}.conv", cfg.conv_bias),
+                "ln": _ln(sd, f"feature_extractor.conv_layers.{i}.layer_norm"),
+            }
+        )
+
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in sd:
+        pos_conv = _weight_norm_conv(
+            _np(sd[f"{pc}.weight_g"]), _np(sd[f"{pc}.weight_v"]), sd[f"{pc}.bias"]
+        )
+    elif f"{pc}.parametrizations.weight.original0" in sd:
+        pos_conv = _weight_norm_conv(
+            _np(sd[f"{pc}.parametrizations.weight.original0"]),
+            _np(sd[f"{pc}.parametrizations.weight.original1"]),
+            sd[f"{pc}.bias"],
+        )
+    else:  # already contracted
+        pos_conv = _conv(sd, pc)
+
+    layers = []
+    for i in range(cfg.encoder_layers):
+        pre = f"encoder.layers.{i}"
+        layers.append(
+            {
+                "ln_attn": _ln(sd, f"{pre}.layer_norm"),
+                "attn": {
+                    "q": _lin(sd, f"{pre}.attention.q_proj"),
+                    "k": _lin(sd, f"{pre}.attention.k_proj"),
+                    "v": _lin(sd, f"{pre}.attention.v_proj"),
+                    "o": _lin(sd, f"{pre}.attention.out_proj"),
+                },
+                "ln_ffn": _ln(sd, f"{pre}.final_layer_norm"),
+                "fc1": _lin(sd, f"{pre}.feed_forward.intermediate_dense"),
+                "fc2": _lin(sd, f"{pre}.feed_forward.output_dense"),
+            }
+        )
+
+    return _assemble(convs, sd, pos_conv, layers, post_ln="feature_projection.layer_norm",
+                     proj="feature_projection.projection", final_ln="encoder.layer_norm")
+
+
+def _assemble(convs, sd, pos_conv, layers, *, post_ln, proj, final_ln):
+    import jax
+    import jax.numpy as jnp
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers)
+    params = {
+        "feature_extractor": {"convs": convs},
+        "post_extract_ln": _ln(sd, post_ln),
+        "proj": _lin(sd, proj),
+        "pos_conv": pos_conv,
+        "encoder": {"layers": stacked, "final_ln": _ln(sd, final_ln)},
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_fairseq_checkpoint(path: str):
+    """Load ``xlsr2_300m.pt`` (torch pickle) -> (params, XLSRConfig).
+
+    Uses torch only for deserialization; everything downstream is numpy/jax.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    # fairseq OmegaConf configs behave like mappings after this cast
+    try:
+        from omegaconf import OmegaConf  # optional
+
+        if "cfg" in ckpt and not isinstance(ckpt["cfg"], dict):
+            ckpt = dict(ckpt)
+            ckpt["cfg"] = OmegaConf.to_container(ckpt["cfg"], resolve=True)
+    except ImportError:
+        pass
+    cfg = config_from_fairseq(ckpt)
+    return from_fairseq_state_dict(sd, cfg), cfg
+
+
+def load_hf_pretrained(name_or_path: str = "facebook/wav2vec2-xls-r-300m"):
+    """Load a HuggingFace wav2vec2 model/dir -> (params, XLSRConfig)."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    model = Wav2Vec2Model.from_pretrained(name_or_path)
+    hf: Wav2Vec2Config = model.config
+    cfg = config_from_hf(hf)
+    return from_hf_state_dict(model.state_dict(), cfg), cfg
+
+
+def config_from_hf(hf) -> XLSRConfig:
+    return XLSRConfig(
+        conv_layers=tuple(
+            (d, k, s) for d, k, s in zip(hf.conv_dim, hf.conv_kernel, hf.conv_stride)
+        ),
+        conv_bias=bool(hf.conv_bias),
+        encoder_dim=int(hf.hidden_size),
+        encoder_layers=int(hf.num_hidden_layers),
+        ffn_dim=int(hf.intermediate_size),
+        num_heads=int(hf.num_attention_heads),
+        pos_conv_kernel=int(hf.num_conv_pos_embeddings),
+        pos_conv_groups=int(hf.num_conv_pos_embedding_groups),
+        layer_norm_eps=float(hf.layer_norm_eps),
+        dropout=float(hf.hidden_dropout),
+        attention_dropout=float(hf.attention_dropout),
+        activation_dropout=float(hf.activation_dropout),
+    )

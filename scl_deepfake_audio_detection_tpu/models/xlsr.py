@@ -1,0 +1,306 @@
+"""XLS-R (wav2vec 2.0 large) SSL frontend, TPU-native.
+
+Re-implements the compute graph of the frozen-architecture fairseq model the
+reference loads via ``fairseq.checkpoint_utils.load_model_ensemble_and_task``
+(reference ``model/xlsr.py:14-21``): a 7-layer strided conv feature encoder
+(total stride 320) followed by a 24-layer pre-norm transformer (1024-d, 16
+heads) with a grouped-conv relative positional embedding.  For 64600-sample
+input it yields ``[B, 201, 1024]`` frame features, matching
+``SSLModel.extract_feat`` (``model/xlsr.py:41``).
+
+TPU-first design decisions (vs. a torch translation):
+- encoder layers are a *stacked* parameter pytree driven by ``lax.scan`` —
+  one compiled layer body instead of 24 unrolled blocks (fast compiles,
+  optional ``jax.checkpoint`` remat per layer for the backward pass);
+- attention runs through ``ops.attention.self_attention`` (Pallas flash
+  kernel on TPU);
+- static shapes everywhere; bf16 matmuls with fp32 layernorm/softmax.
+
+Weights convert from fairseq ``xlsr2_300m.pt`` or HuggingFace
+``Wav2Vec2Model`` state dicts via ``models/convert.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.ops.attention import self_attention
+from scl_deepfake_audio_detection_tpu.ops.layers import (
+    conv1d,
+    dropout,
+    gelu,
+    init_conv1d,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class XLSRConfig:
+    """Architecture hyperparameters of XLS-R 300M (wav2vec2 large,
+    ``extractor_mode=layer_norm``, ``layer_norm_first=True``)."""
+
+    conv_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )  # (dim, kernel, stride)
+    conv_bias: bool = True
+    encoder_dim: int = 1024
+    encoder_layers: int = 24
+    ffn_dim: int = 4096
+    num_heads: int = 16
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    # runtime policy
+    compute_dtype: str = "float32"  # 'bfloat16' on TPU for throughput
+    attention_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
+    remat: bool = False  # checkpoint each encoder layer in the bwd pass
+
+    @property
+    def head_dim(self) -> int:
+        return self.encoder_dim // self.num_heads
+
+    @property
+    def out_dim(self) -> int:
+        return self.encoder_dim
+
+    def with_(self, **kw) -> "XLSRConfig":
+        return replace(self, **kw)
+
+    @classmethod
+    def xlsr_300m(cls, **kw) -> "XLSRConfig":
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "XLSRConfig":
+        """Small config for CPU tests / multichip dryruns."""
+        base = dict(
+            conv_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+            encoder_dim=32,
+            encoder_layers=2,
+            ffn_dim=64,
+            num_heads=4,
+            pos_conv_kernel=16,
+            pos_conv_groups=4,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    def num_frames(self, num_samples: int) -> int:
+        t = num_samples
+        for _, k, s in self.conv_layers:
+            t = (t - k) // s + 1
+        return t
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_encoder_layer(key, cfg: XLSRConfig) -> Params:
+    d, f = cfg.encoder_dim, cfg.ffn_dim
+    ks = jax.random.split(key, 6)
+    return {
+        "ln_attn": init_layer_norm(d),
+        "attn": {
+            "q": init_linear(ks[0], d, d),
+            "k": init_linear(ks[1], d, d),
+            "v": init_linear(ks[2], d, d),
+            "o": init_linear(ks[3], d, d),
+        },
+        "ln_ffn": init_layer_norm(d),
+        "fc1": init_linear(ks[4], d, f),
+        "fc2": init_linear(ks[5], f, d),
+    }
+
+
+def init_xlsr(key, cfg: XLSRConfig) -> Params:
+    keys = jax.random.split(key, 4 + len(cfg.conv_layers) + cfg.encoder_layers)
+    ki = iter(keys)
+
+    convs = []
+    in_dim = 1
+    for dim, kernel, _ in cfg.conv_layers:
+        convs.append(
+            {
+                "conv": init_conv1d(next(ki), in_dim, dim, kernel, bias=cfg.conv_bias),
+                "ln": init_layer_norm(dim),
+            }
+        )
+        in_dim = dim
+
+    layer_params = [init_encoder_layer(next(ki), cfg) for _ in range(cfg.encoder_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+
+    return {
+        "feature_extractor": {"convs": convs},
+        "post_extract_ln": init_layer_norm(cfg.conv_layers[-1][0]),
+        "proj": init_linear(next(ki), cfg.conv_layers[-1][0], cfg.encoder_dim),
+        "pos_conv": init_conv1d(
+            next(ki),
+            cfg.encoder_dim,
+            cfg.encoder_dim,
+            cfg.pos_conv_kernel,
+            bias=True,
+            groups=cfg.pos_conv_groups,
+        ),
+        "encoder": {"layers": stacked, "final_ln": init_layer_norm(cfg.encoder_dim)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def feature_encoder(params: Params, cfg: XLSRConfig, wav: jnp.ndarray) -> jnp.ndarray:
+    """[B, T_samples] -> [B, T_frames, C]. Conv -> fp32 LN -> exact GELU per
+    block (fairseq 'layer_norm' extractor mode)."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    x = wav[..., None].astype(cdtype)
+    for block, (dim, kernel, stride) in zip(
+        params["feature_extractor"]["convs"], cfg.conv_layers
+    ):
+        x = conv1d(block["conv"], x, stride=stride, padding="VALID", compute_dtype=cdtype)
+        x = layer_norm(block["ln"], x, cfg.layer_norm_eps).astype(cdtype)
+        x = gelu(x)
+    return x
+
+
+def _pos_conv_embed(params: Params, cfg: XLSRConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Grouped conv positional embedding. Torch pads k//2 both sides then
+    drops the trailing output for even kernels (fairseq SamePad); expressed
+    here as asymmetric [(k//2, k//2 - 1)] padding — identical output, one
+    conv, no slice."""
+    k = cfg.pos_conv_kernel
+    pad = [(k // 2, k // 2 - 1 if k % 2 == 0 else k // 2)]
+    y = conv1d(
+        params["pos_conv"],
+        x,
+        stride=1,
+        padding=pad,
+        groups=cfg.pos_conv_groups,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+    return gelu(y)
+
+
+def _encoder_layer(
+    layer: Params,
+    cfg: XLSRConfig,
+    x: jnp.ndarray,
+    kv_len: Optional[int],
+    rngs: Optional[jax.Array],
+    deterministic: bool,
+) -> jnp.ndarray:
+    """Pre-norm transformer layer (fairseq ``layer_norm_first=True``)."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    b, t, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    if rngs is not None:
+        r_attn, r_res1, r_act, r_res2 = jax.random.split(rngs, 4)
+    else:
+        r_attn = r_res1 = r_act = r_res2 = None
+
+    # self-attention block
+    y = layer_norm(layer["ln_attn"], x, cfg.layer_norm_eps)
+    q = linear(layer["attn"]["q"], y, cdtype) * (hd**-0.5)
+    k = linear(layer["attn"]["k"], y, cdtype)
+    v = linear(layer["attn"]["v"], y, cdtype)
+    q, k, v = (
+        z.reshape(b, t, h, hd).transpose(0, 2, 1, 3).astype(cdtype) for z in (q, k, v)
+    )
+    # attention-prob dropout is fused away on the flash path; applied only
+    # when a rate is configured (XLS-R ships 0.0)
+    attn = self_attention(q, k, v, kv_len=kv_len, impl=cfg.attention_impl)
+    if cfg.attention_dropout > 0.0:
+        attn = dropout(r_attn, attn, cfg.attention_dropout, deterministic)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
+    attn = linear(layer["attn"]["o"], attn, cdtype)
+    x = x + dropout(r_res1, attn, cfg.dropout, deterministic).astype(x.dtype)
+
+    # feed-forward block
+    y = layer_norm(layer["ln_ffn"], x, cfg.layer_norm_eps)
+    y = gelu(linear(layer["fc1"], y, cdtype))
+    y = dropout(r_act, y, cfg.activation_dropout, deterministic)
+    y = linear(layer["fc2"], y, cdtype)
+    x = x + dropout(r_res2, y, cfg.dropout, deterministic).astype(x.dtype)
+    return x
+
+
+def transformer_encoder(
+    params: Params,
+    cfg: XLSRConfig,
+    x: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Pre-norm stack over stacked layer params via ``lax.scan``."""
+    x = x + _pos_conv_embed(params, cfg, x)
+    if rng is not None:
+        # fold_in domain is uint32; use sentinels far above any layer index
+        x = dropout(jax.random.fold_in(rng, 1_000_001), x, cfg.dropout, deterministic)
+
+    stacked = params["encoder"]["layers"]
+    num_layers = jax.tree.leaves(stacked)[0].shape[0]
+    rngs = (
+        jax.random.split(rng, num_layers)
+        if (rng is not None and not deterministic)
+        else None
+    )
+
+    def body(carry, scanned):
+        layer = scanned["layer"]
+        r = scanned["rng"] if rngs is not None else None
+        return _encoder_layer(layer, cfg, carry, kv_len, r, deterministic), None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+
+    scanned = {"layer": stacked}
+    if rngs is not None:
+        scanned["rng"] = rngs
+    x, _ = jax.lax.scan(body, x, scanned)
+    return layer_norm(params["encoder"]["final_ln"], x, cfg.layer_norm_eps)
+
+
+def extract_features(
+    params: Params,
+    cfg: XLSRConfig,
+    wav: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """wav [B, T_samples] -> frame features [B, T_frames, encoder_dim].
+
+    Equivalent of ``SSLModel.extract_feat`` (reference ``model/xlsr.py:23-43``):
+    raw waveform in (no input normalization — the reference calls the bare
+    Wav2Vec2Model), conv features -> fp32 LN -> projection -> transformer.
+    """
+    if wav.ndim == 3:  # accept [B, T, 1] like the reference's ndim fixup
+        wav = wav[:, :, 0]
+    x = feature_encoder(params, cfg, wav)
+    x = layer_norm(params["post_extract_ln"], x, cfg.layer_norm_eps)
+    x = linear(params["proj"], x, jnp.dtype(cfg.compute_dtype))
+    if rng is not None:
+        x = dropout(jax.random.fold_in(rng, 1_000_002), x, cfg.dropout, deterministic)
+    return transformer_encoder(params, cfg, x, rng=rng, deterministic=deterministic)

@@ -1,0 +1,179 @@
+"""Multi-head self-attention with a Pallas flash-attention TPU kernel.
+
+The XLS-R encoder runs 24 layers of 16-head/1024-dim self-attention over
+~200 audio frames — the hot op of the whole framework (the SSL frontend is
+>99% of FLOPs, reference ``model/xlsr.py:41``).  Two interchangeable cores:
+
+- ``attention_reference``: einsum + fp32 softmax.  XLA fuses this well; used
+  on CPU, for numerics tests, and as the backward path.
+- ``flash_attention``: a Pallas online-softmax kernel that never materializes
+  the [T, T] score matrix in HBM — one grid program per (batch*head, q-block),
+  streaming kv blocks through VMEM with a running max/sum.  Forward-only;
+  gradients recompute through the reference core via ``jax.custom_vjp``
+  (fine here: T is small, recompute is cheap, and eval scoring dominates).
+
+Key-side padding is handled with a static ``kv_len``: sequence lengths are
+fixed by the framework's static-shape design (64000/64600-sample inputs →
+199/201 frames), so masks are compile-time constants — no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+
+def attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Plain attention. q,k,v: [B, H, T, D] (q already scaled). fp32 softmax."""
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if kv_len is not None and kv_len < k.shape[2]:
+        mask = jnp.arange(k.shape[2]) < kv_len
+        s = jnp.where(mask[None, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        p,
+        v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, kv_len: int):
+    """One q-block vs all kv-blocks, online softmax. Refs: [1, bq|T, D]."""
+    q = q_ref[0].astype(jnp.float32)  # [bq, D]
+    bq = q.shape[0]
+    t_kv = k_ref.shape[1]
+    num_kv = t_kv // block_kv
+
+    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+
+    for j in range(num_kv):  # static: t_kv is compile-time
+        kb = k_ref[0, j * block_kv : (j + 1) * block_kv, :].astype(jnp.float32)
+        vb = v_ref[0, j * block_kv : (j + 1) * block_kv, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bkv]
+        if kv_len < (j + 1) * block_kv:  # static masking of key padding
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+            s = jnp.where(col < kv_len, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # guard fully-masked blocks: exp(-inf - -inf) -> use finite rescale
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = m_new
+
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[int],
+    block_q: int = 128,
+    block_kv: int = 128,
+) -> jnp.ndarray:
+    b, h, t, d = q.shape
+    t_kv = k.shape[2]
+
+    # pad time to block multiples (static shapes; kv padding is masked away,
+    # q padding rows are discarded after the call)
+    def pad_t(x, bl):
+        pad = (-x.shape[2]) % bl
+        return x if pad == 0 else jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    eff_kv_len = kv_len if kv_len is not None else t_kv
+    qp, kp, vp = pad_t(q, block_q), pad_t(k, block_kv), pad_t(v, block_kv)
+    tq, tkv = qp.shape[2], kp.shape[2]
+    qf = qp.reshape(b * h, tq, d)
+    kf = kp.reshape(b * h, tkv, d)
+    vf = vp.reshape(b * h, tkv, d)
+
+    grid = (b * h, tq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_kv=block_kv, kv_len=eff_kv_len),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tkv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tkv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tkv * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
+            transcendentals=b * h * tq * tkv,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, tq, d)[:, :, :t, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, kv_len: Optional[int] = None
+) -> jnp.ndarray:
+    """Flash attention forward (Pallas); backward recomputes via XLA."""
+    return _flash_forward(q, k, v, kv_len)
+
+
+def _flash_fwd(q, k, v, kv_len):
+    return _flash_forward(q, k, v, kv_len), (q, k, v)
+
+
+def _flash_bwd(kv_len, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, kv_len), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def self_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: Optional[int] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch: 'flash' (Pallas TPU kernel), 'xla' (einsum), or 'auto'
+    (flash on TPU, xla elsewhere). q must be pre-scaled by 1/sqrt(D)."""
+    if impl == "auto":
+        impl = (
+            "flash"
+            if pltpu is not None and jax.default_backend() == "tpu"
+            else "xla"
+        )
+    if impl == "flash":
+        return flash_attention(q, k, v, kv_len)
+    return attention_reference(q, k, v, kv_len)

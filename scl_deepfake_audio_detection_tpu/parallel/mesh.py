@@ -1,0 +1,114 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+scatter/gather (``main.py:350-355``).  Here parallelism is jit-native: a
+``jax.sharding.Mesh`` with axes ``('data', 'model')``:
+
+- **data**: anchor groups shard across devices; each device computes its
+  groups' SupCon locally (matching the reference's per-group loss unit) and
+  XLA inserts the gradient ``psum`` over ICI from the sharding annotations.
+- **model**: optional tensor parallelism inside the XLS-R encoder — attention
+  heads and FFN hidden dim sharded, so q/k/v/fc1 are column-parallel and
+  o/fc2 row-parallel; XLA's SPMD partitioner places the (two per layer)
+  all-reduces on ICI.
+
+Rules are expressed as path-pattern -> PartitionSpec over the param pytree.
+Everything composes with ``jax.jit(in_shardings=..., out_shardings=...)`` —
+no hand-written collectives on the training path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Tuple[str, str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh. Default: all devices on the data axis.
+
+    The data axis is placed on the outer (slower/DCN-crossing) dimension and
+    model on the inner so tensor-parallel collectives ride contiguous ICI
+    neighbors.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+# --- parameter sharding rules ------------------------------------------------
+# Matched against '/'-joined param paths. Encoder layer weights carry a
+# leading stacked-layer axis (lax.scan), hence the None prefix on their specs.
+_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention: q/k/v column-parallel (heads split), o row-parallel
+    (r"encoder/layers/attn/(q|k|v)/w$", P(None, None, "model")),
+    (r"encoder/layers/attn/(q|k|v)/b$", P(None, "model")),
+    (r"encoder/layers/attn/o/w$", P(None, "model", None)),
+    (r"encoder/layers/attn/o/b$", P(None)),
+    # FFN: fc1 column-parallel, fc2 row-parallel
+    (r"encoder/layers/fc1/w$", P(None, None, "model")),
+    (r"encoder/layers/fc1/b$", P(None, "model")),
+    (r"encoder/layers/fc2/w$", P(None, "model", None)),
+    (r"encoder/layers/fc2/b$", P(None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_pspecs(params) -> "jax.tree_util.PyTreeDef":
+    """PartitionSpec pytree for a model param tree (everything not matched by
+    a tensor-parallel rule is replicated)."""
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        for pat, spec in _RULES:
+            if re.search(pat, s):
+                if len(spec) == leaf.ndim:
+                    return spec
+                # non-stacked variant (e.g. a single unstacked layer)
+                trimmed = P(*spec[1:])
+                if len(trimmed) == leaf.ndim:
+                    return trimmed
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh per the TP rules (no-op layout-wise on a
+    1-device mesh, but establishes the shardings jit propagates from)."""
+    specs = param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_pspec(ndim: int) -> P:
+    """Batch arrays shard on the leading (anchor-group) axis."""
+    return P("data", *([None] * (ndim - 1)))
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_pspec(x.ndim))), batch
+    )

@@ -1,0 +1,135 @@
+"""Checkpointing.
+
+The reference saves bare ``state_dict`` files on each new validation best
+(``main.py:43-45``) and resumes with prefix-stripping (``main.py:344-349``);
+full-state checkpoints (optimizer/monitor/scheduler) exist only in its
+vendored-unused NII trainer (``core_scripts/nn_manager/nn_manager.py:483-497``).
+
+Here one checkpointer covers both capabilities: an atomic, dependency-light
+format that saves the *full* train state (params, optimizer state, epoch, RNG
+key) or params-only.  Arrays go in a single ``.npz`` (fast, mmap-able); tree
+structure and scalars in a ``.json`` sidecar keyed by flattened paths, so
+checkpoints are portable and diffable.  Also loads reference ``.pth`` files
+via the torch pickle reader + ``models/convert.py`` for migration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SEP = "//"
+
+
+def _flatten(tree) -> Dict[str, Any]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(
+            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path
+        )
+        flat[key] = leaf
+    return flat
+
+
+def _set_deep(d: dict, keys, value):
+    for k in keys[:-1]:
+        d = d.setdefault(k, {})
+    d[keys[-1]] = value
+
+
+def _unflatten_dicts(flat: Dict[str, Any]):
+    """Rebuild as nested dicts/lists. Integer path components become list
+    indices when contiguous from 0."""
+    nested: dict = {}
+    for key, v in flat.items():
+        _set_deep(nested, key.split(_SEP), v)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        keys = list(node)
+        if keys and all(k.isdigit() for k in keys):
+            idx = sorted(int(k) for k in keys)
+            if idx == list(range(len(idx))):
+                return [node[str(i)] for i in idx]
+        return node
+
+    return listify(nested)
+
+
+def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Atomically save a pytree of arrays (+ JSON-able ``extra`` metadata)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    flat = {k: np.asarray(v) for k, v in _flatten(tree).items()}
+    meta = {"keys": sorted(flat), "extra": extra or {}}
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load(path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Load (tree, extra). Arrays come back as numpy (device placement is the
+    caller's concern — e.g. ``parallel.shard_params``)."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    extra = {}
+    meta_path = path + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            extra = json.load(f).get("extra", {})
+    return _unflatten_dicts(flat), extra
+
+
+def save_train_state(
+    path: str, params, opt_state, epoch: int, rng_key, best: float
+) -> None:
+    """Full-state checkpoint: everything needed for exact resume."""
+    state = {
+        "params": params,
+        "opt_state_leaves": {
+            str(i): l for i, l in enumerate(jax.tree.leaves(opt_state))
+        },
+        "rng": jax.random.key_data(rng_key),
+    }
+    save(path, state, extra={"epoch": epoch, "best": best})
+
+
+def load_train_state(path: str, opt_state_template):
+    """Restore (params, opt_state, epoch, rng_key, best) using a freshly
+    initialized opt state as the structure template."""
+    tree, extra = load(path)
+    leaves_dict = tree["opt_state_leaves"]
+    leaves = [leaves_dict[str(i)] for i in range(len(leaves_dict))]
+    treedef = jax.tree.structure(opt_state_template)
+    opt_state = jax.tree.unflatten(treedef, leaves)
+    rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
+    return tree["params"], opt_state, int(extra["epoch"]), rng, float(extra["best"])
+
+
+def load_reference_head_checkpoint(path: str):
+    """Read a reference ``epoch_N.pth`` (torch state_dict) and return it as a
+    flat numpy dict with ``module.``/``_orig_mod.`` prefixes stripped, the way
+    ``main.py:346-348`` does before loading."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("module.", "").replace("_orig_mod.", "")
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out

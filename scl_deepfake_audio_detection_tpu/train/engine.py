@@ -1,0 +1,198 @@
+"""Training/eval engine — one jit-compiled step, sharded over the mesh.
+
+Replaces the reference's per-batch Python loop (``main.py:47-118``): there,
+each step moves one ``[1, T, 11]`` view-batch to the GPU, reshapes, runs
+forward/backward and `.item()`s every loss.  Here a step takes a super-batch
+of G anchor groups ``[G, V, T]`` sharded over the ``data`` mesh axis, runs
+one fused forward over all G*V views, computes per-group SupCon (the
+reference's loss unit) with ``vmap``, and lets XLA insert the gradient
+all-reduce.  Metrics come back as a handful of scalars per step.
+
+The engine drives epochs exactly like the reference (``main.py:402-423``):
+per-epoch cyclic LR, dev-accuracy early stopping, checkpoint on new best.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+from scl_deepfake_audio_detection_tpu.train.optim import (
+    EarlyStop,
+    cyclic_exp_lr,
+    make_optimizer,
+    set_learning_rate,
+)
+from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
+
+
+def _loss_and_metrics(params, model, batch, rng, loss_scope: str):
+    """batch: {'wav': [G, V, T], 'labels': [G, V]} -> (total, metrics)."""
+    wav, labels = batch["wav"], batch["labels"]
+    g, v = wav.shape[0], wav.shape[1]
+    out = model.apply(params, wav.reshape(g * v, -1), train=True, rng=rng)
+
+    if loss_scope == "global":
+        terms = model.loss(out, labels.reshape(-1))
+    else:  # per anchor-group (reference semantics at bs=1)
+        out_g = jax.tree.map(lambda x: x.reshape(g, v, *x.shape[1:]), out)
+        terms_g = jax.vmap(model.loss)(out_g, labels)
+        terms = {k: jnp.mean(t) for k, t in terms_g.items()}
+
+    total = sum(terms.values())
+    pred = jnp.argmax(out.log_probs, axis=-1)
+    acc = jnp.mean((pred == labels.reshape(-1).astype(pred.dtype)).astype(jnp.float32))
+    metrics = {"loss": total, "accuracy": acc, **terms}
+    return total, metrics
+
+
+def _train_step(params, opt_state, batch, rng, *, model, optimizer, loss_scope):
+    (_, metrics), grads = jax.value_and_grad(
+        _loss_and_metrics, has_aux=True
+    )(params, model, batch, rng, loss_scope)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), params, updates)
+    return params, opt_state, metrics
+
+
+def _eval_step(params, batch, *, model, loss_scope):
+    _, metrics = _loss_and_metrics(params, model, batch, None, loss_scope)
+    return metrics
+
+
+def _score_step(params, wav, *, model):
+    return model.apply(params, wav, train=False).log_probs
+
+
+class Engine:
+    """Owns the jitted steps, optimizer state, mesh placement, epoch loop."""
+
+    def __init__(
+        self,
+        model,
+        train_cfg: Optional[TrainConfig] = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.cfg = train_cfg or TrainConfig()
+        self.mesh = mesh if mesh is not None else make_mesh(self.cfg.mesh_shape)
+        self.optimizer = make_optimizer(self.cfg.weight_decay)
+
+        scope = self.cfg.loss_scope
+        self.train_step = jax.jit(
+            functools.partial(
+                _train_step, model=model, optimizer=self.optimizer, loss_scope=scope
+            ),
+            donate_argnums=(0, 1),
+        )
+        self.eval_step = jax.jit(
+            functools.partial(_eval_step, model=model, loss_scope=scope)
+        )
+        self.score_step = jax.jit(functools.partial(_score_step, model=model))
+
+    # ----------------------------------------------------------- state setup
+    def init_state(self, rng_key, params=None):
+        params = params if params is not None else self.model.init(rng_key)
+        params = shard_params(params, self.mesh)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def place_batch(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    # ---------------------------------------------------------------- epochs
+    def run_epoch(
+        self, params, opt_state, batches: Iterable[Dict[str, Any]], rng_key
+    ) -> Tuple[Any, Any, Dict[str, float]]:
+        """One training epoch. ``batches`` yields {'wav': [G,V,T], 'labels':
+        [G,V]} numpy arrays."""
+        agg: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(batches):
+            step_rng = jax.random.fold_in(rng_key, i)
+            params, opt_state, metrics = self.train_step(
+                params, opt_state, self.place_batch(batch), step_rng
+            )
+            for k, val in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(val)
+            n += 1
+        return params, opt_state, {k: val / max(n, 1) for k, val in agg.items()}
+
+    def run_validation(self, params, batches: Iterable[Dict[str, Any]]) -> Dict[str, float]:
+        agg: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            metrics = self.eval_step(params, self.place_batch(batch))
+            for k, val in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(val)
+            n += 1
+        return {k: val / max(n, 1) for k, val in agg.items()}
+
+    def fit(
+        self,
+        params,
+        opt_state,
+        train_batches: Callable[[], Iterable[Dict[str, Any]]],
+        dev_batches: Callable[[], Iterable[Dict[str, Any]]],
+        rng_key,
+        save_dir: Optional[str] = None,
+        log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    ):
+        """Full training run with per-epoch cyclic LR, early stop on dev
+        accuracy, best-checkpoint saving and JSONL metrics
+        (reference flow: ``main.py:397-423``)."""
+        cfg = self.cfg
+        stopper = EarlyStop()
+        metrics_path = os.path.join(save_dir, "metrics.jsonl") if save_dir else None
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+
+        for epoch in range(cfg.start_epoch, cfg.start_epoch + cfg.num_epochs):
+            lr = cyclic_exp_lr(epoch, cfg.min_lr, cfg.max_lr)
+            opt_state = set_learning_rate(opt_state, lr)
+            t0 = time.time()
+            epoch_rng = jax.random.fold_in(rng_key, epoch)
+            params, opt_state, train_m = self.run_epoch(
+                params, opt_state, train_batches(), epoch_rng
+            )
+            val_m = self.run_validation(params, dev_batches())
+            record = {
+                "epoch": epoch,
+                "lr": lr,
+                "seconds": time.time() - t0,
+                **{f"train_{k}": v for k, v in train_m.items()},
+                **{f"val_{k}": v for k, v in val_m.items()},
+            }
+            if metrics_path:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(record) + "\n")
+            if log_fn:
+                log_fn(epoch, record)
+
+            val_acc = val_m.get("accuracy", 0.0) * 100.0
+            if stopper(val_acc) and save_dir:
+                ckpt.save_train_state(
+                    os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
+                    params,
+                    opt_state,
+                    epoch,
+                    rng_key,
+                    stopper.best,
+                )
+            if stopper.early_stop:
+                break
+        return params, opt_state

@@ -1,0 +1,75 @@
+"""Optimizer + LR policy.
+
+Matches the reference recipe (``main.py:339-341``): AdamW(lr=max_lr,
+weight_decay=1e-4) with torch ``CyclicLR(mode='exp_range', gamma=0.85,
+step_size_up=3)`` stepped once per *epoch*.  The schedule is reproduced in
+closed form; because it advances per epoch (not per step), the train step
+takes the learning rate as a plain scalar input — no retrace when it changes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cyclic_exp_lr(
+    epoch: int,
+    base_lr: float = 1e-8,
+    max_lr: float = 1e-5,
+    step_size: int = 3,
+    gamma: float = 0.85,
+) -> float:
+    """torch.optim.lr_scheduler.CyclicLR 'exp_range' value at ``epoch``.
+
+    lr = base + (max - base) * max(0, 1 - |x|) * gamma^epoch, with the
+    standard triangular phase x over a 2*step_size cycle.
+    """
+    cycle = math.floor(1 + epoch / (2 * step_size))
+    x = abs(epoch / step_size - 2 * cycle + 1)
+    return base_lr + (max_lr - base_lr) * max(0.0, 1.0 - x) * (gamma**epoch)
+
+
+def make_optimizer(weight_decay: float = 1e-4) -> optax.GradientTransformation:
+    """AdamW with an externally supplied per-step learning rate.
+
+    ``optax.scale_by_learning_rate`` is driven through ``inject_hyperparams``
+    so the host can set the epoch's LR without recompiling the train step.
+    """
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=0.0, weight_decay=weight_decay
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in-place on the opt state pytree."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+class EarlyStop:
+    """Early stopping on validation accuracy (reference ``main.py:23-45``):
+    patience 10, delta 0.01, initial best 90.0; triggers a save callback on
+    each new best."""
+
+    def __init__(self, patience: int = 10, delta: float = 0.01, init_best: float = 90.0):
+        self.patience = patience
+        self.delta = delta
+        self.best = init_best
+        self.counter = 0
+        self.early_stop = False
+
+    def __call__(self, score: float) -> bool:
+        """Returns True when ``score`` is a new best (caller should save)."""
+        if score > self.best + self.delta:
+            self.best = score
+            self.counter = 0
+            return True
+        self.counter += 1
+        if self.counter >= self.patience:
+            self.early_stop = True
+        return False

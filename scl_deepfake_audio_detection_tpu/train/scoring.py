@@ -1,0 +1,89 @@
+"""Score-file writers — byte-compatible with the reference's three formats.
+
+Reference writers (``main.py:120-214``):
+  eval  format: ``utt cm0 cm1``   (two log-softmax outputs)
+  pred  format: ``utt score pred`` (score = cm[1] bonafide log-prob, argmax)
+  emb   mode:   per-utt ``.npy`` embedding + a ``scores.txt`` in eval format
+
+One deliberate fix: files open with ``'w'`` — the reference appends with
+``'a+'`` (``main.py:170``), so re-runs double up score files; truncation is
+the correct capability.  Line formatting uses repr(float) like Python's
+f-string of a float32 — identical tokens to the reference's torch prints.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+def _fmt(x: float) -> str:
+    return str(float(x))
+
+
+def produce_evaluation_file(
+    batches: Iterable[Tuple[np.ndarray, list]],
+    score_fn: Callable[[np.ndarray], np.ndarray],
+    out_path: str,
+    progress: Optional[Callable[[int], None]] = None,
+) -> None:
+    """``utt cm0 cm1`` lines (reference ``produce_evaluation_file``,
+    ``main.py:161-180``). ``score_fn`` maps wav [B, T] -> log_probs [B, 2];
+    padded tail rows (beyond len(utts)) are dropped."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    done = 0
+    with open(out_path, "w") as f:
+        for wav, utts in batches:
+            lp = np.asarray(score_fn(wav))[: len(utts)]
+            for utt, row in zip(utts, lp):
+                f.write(f"{utt} {_fmt(row[0])} {_fmt(row[1])}\n")
+            done += len(utts)
+            if progress:
+                progress(done)
+
+
+def produce_prediction_file(
+    batches: Iterable[Tuple[np.ndarray, list]],
+    score_fn: Callable[[np.ndarray], np.ndarray],
+    out_path: str,
+    progress: Optional[Callable[[int], None]] = None,
+) -> None:
+    """``utt score pred`` lines, score = bonafide log-prob, pred = argmax
+    (reference ``produce_prediction_file``, ``main.py:182-214``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    done = 0
+    with open(out_path, "w") as f:
+        for wav, utts in batches:
+            lp = np.asarray(score_fn(wav))[: len(utts)]
+            pred = np.argmax(lp, axis=-1)
+            for utt, row, p in zip(utts, lp, pred):
+                f.write(f"{utt} {_fmt(row[1])} {int(p)}\n")
+            done += len(utts)
+            if progress:
+                progress(done)
+
+
+def produce_emb_file(
+    batches: Iterable[Tuple[np.ndarray, list]],
+    emb_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+    out_dir: str,
+    progress: Optional[Callable[[int], None]] = None,
+) -> None:
+    """Per-utterance ``<utt>.npy`` embeddings + ``scores.txt`` in eval format
+    (reference ``produce_emb_file``, ``main.py:120-159``).  ``emb_fn`` maps
+    wav [B, T] -> (log_probs [B, 2], emb [B, D])."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = 0
+    with open(os.path.join(out_dir, "scores.txt"), "w") as f:
+        for wav, utts in batches:
+            lp, emb = emb_fn(wav)
+            lp, emb = np.asarray(lp)[: len(utts)], np.asarray(emb)[: len(utts)]
+            for utt, row, e in zip(utts, lp, emb):
+                base = os.path.splitext(os.path.basename(utt))[0]
+                np.save(os.path.join(out_dir, base + ".npy"), e)
+                f.write(f"{utt} {_fmt(row[0])} {_fmt(row[1])}\n")
+            done += len(utts)
+            if progress:
+                progress(done)

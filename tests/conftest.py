@@ -10,7 +10,12 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA CPU fast-math approximates exp/log (~1e-4 abs error in fp32) — kills
+# parity tests. TPU is unaffected; disable it for the CPU test backend.
+if "xla_cpu_enable_fast_math" not in flags:
+    flags += " --xla_cpu_enable_fast_math=false"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import numpy as np
 import pytest

@@ -1,0 +1,70 @@
+"""Flash-attention kernel vs the reference einsum core (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.ops import attention as attn
+
+
+def _qkv(rng, b=2, h=4, t=40, d=16):
+    def mk():
+        return jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32) * 0.5)
+
+    return mk(), mk(), mk()
+
+
+def test_reference_attention_is_softmax_weighted_sum(rng):
+    q, k, v = _qkv(rng, b=1, h=1, t=5, d=3)
+    out = attn.attention_reference(q, k, v)
+    s = np.asarray(q)[0, 0] @ np.asarray(k)[0, 0].T
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = p @ np.asarray(v)[0, 0]
+    np.testing.assert_allclose(np.asarray(out)[0, 0], want, rtol=1e-5, atol=1e-6)
+
+
+def test_kv_len_masks_padding(rng):
+    q, k, v = _qkv(rng, t=12)
+    full = attn.attention_reference(q[:, :, :7], k[:, :, :7], v[:, :, :7])
+    masked = attn.attention_reference(q, k, v, kv_len=7)[:, :, :7]
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(full), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("t,kv_len", [(128, None), (200, 200), (256, 201)])
+def test_flash_matches_reference_interpret(rng, t, kv_len):
+    """Pallas online-softmax kernel == einsum attention (interpreter mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(rng, b=1, h=2, t=t, d=16)
+    want = attn.attention_reference(q, k, v, kv_len=kv_len)
+    with pltpu.force_tpu_interpret_mode():
+        got = attn.flash_attention(q, k, v, kv_len)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_backward_matches_reference(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(rng, b=1, h=1, t=128, d=8)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attn.attention_reference(q, k, v) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(attn.flash_attention(q, k, v, None) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_dispatch_auto_uses_xla_on_cpu(rng):
+    q, k, v = _qkv(rng, t=16)
+    out = attn.self_attention(q, k, v, impl="auto")  # CPU backend -> xla path
+    want = attn.attention_reference(q, k, v)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))

@@ -1,0 +1,187 @@
+"""SCL view-batch builders + loaders on a synthetic mini-database."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scl_deepfake_audio_detection_tpu.data.augment_registry import AugmentResources
+from scl_deepfake_audio_detection_tpu.data.datasets import (
+    EvalDataset,
+    SCLBatchSpec,
+    SCLViewBatchBuilder,
+    spec_from_config,
+)
+from scl_deepfake_audio_detection_tpu.data.loader import EvalLoader, TrainLoader
+from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio, save_wav
+
+SR = 16000
+VOCODERS = ["hifigan", "waveglow"]
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    """Mini SCL database: bonafide/, vocoded/, spoof/, eval/ + noise/rir."""
+    root = tmp_path_factory.mktemp("scl_db")
+    rng = np.random.default_rng(0)
+    utts = [f"utt{i}.wav" for i in range(5)]
+    for d in ("bonafide", "vocoded", "spoof", "eval"):
+        os.makedirs(root / d, exist_ok=True)
+    for u in utts:
+        n = int(rng.integers(SR // 2, 2 * SR))
+        save_wav(str(root / "bonafide" / u), rng.normal(size=n).astype(np.float32) * 0.2, SR)
+        for v in VOCODERS:
+            save_wav(
+                str(root / "vocoded" / f"{v}_{u}"),
+                rng.normal(size=n).astype(np.float32) * 0.2,
+                SR,
+            )
+        save_wav(str(root / "spoof" / f"sp_{u}"), rng.normal(size=n).astype(np.float32) * 0.2, SR)
+        save_wav(str(root / "eval" / u), rng.normal(size=n).astype(np.float32) * 0.2, SR)
+    # noise + rir resources
+    os.makedirs(root / "musan", exist_ok=True)
+    os.makedirs(root / "rirs", exist_ok=True)
+    save_wav(str(root / "musan" / "noise1.wav"), rng.normal(size=SR).astype(np.float32) * 0.1, SR)
+    rir = np.zeros(400, np.float32)
+    rir[0], rir[200] = 1.0, 0.3
+    save_wav(str(root / "rirs" / "rir1.wav"), rir, SR)
+    return root, utts
+
+
+def _resources(root):
+    return AugmentResources(
+        noise_path=str(root / "musan"), rir_path=str(root / "rirs"), online=True
+    )
+
+
+def test_wav_roundtrip(db):
+    root, utts = db
+    x = load_audio(str(root / "bonafide" / utts[0]), SR)
+    assert x.dtype == np.float32 and x.ndim == 1
+    assert np.max(np.abs(x)) <= 1.0
+
+
+@pytest.mark.parametrize(
+    "variant,n_views,n_pos",
+    [
+        ("augall_3", 1 + 3 + 1 + 2 * 2, 5),  # conf-3 shape: methods=3, real=1
+        ("aug_2", 1 + 3 + 2 * 1 + 2 * 2, 6),
+        ("augall_5", 1 + 3 + 1 + 2 * 2 + 2, 5),
+        ("scl_normal", 1 + 3 + 2 * 1 + 2 * 2, 6),
+    ],
+)
+def test_view_composition(db, variant, n_views, n_pos):
+    root, utts = db
+    spec = SCLBatchSpec(
+        variant=variant,
+        vocoders=VOCODERS,
+        augmentation_methods=["RawBoost12", "background_noise_wrapper", "reverb_wrapper"],
+        num_additional_real=1,
+        num_additional_spoof=2,
+        trim_length=16000,
+    )
+    assert spec.num_views == n_views
+    b = SCLViewBatchBuilder(spec, str(root), utts, _resources(root))
+    utt, wav, labels = b.build(0)
+    assert utt == utts[0]
+    assert wav.shape == (n_views, 16000)
+    assert labels.shape == (n_views,)
+    assert int(labels.sum()) == n_pos
+    assert np.all(np.isfinite(wav))
+
+
+def test_conf3_view_count_is_11():
+    """conf-3: 3 vocoders, 3 methods, 1 additional real -> 11 views 5 pos/6 neg
+    (survey A11)."""
+    spec = SCLBatchSpec(
+        variant="augall_3",
+        vocoders=["hifigan", "hn-sinc-nsf-hifi", "waveglow"],
+        augmentation_methods=["RawBoost12", "background_noise_wrapper", "reverb_wrapper"],
+        num_additional_real=1,
+    )
+    assert spec.num_views == 11
+
+
+def test_xinwang_composition(db):
+    root, utts = db
+    spec = SCLBatchSpec(
+        variant="xinwang",
+        vocoders=VOCODERS,
+        augmentation_methods=["RawBoost12"],
+        trim_length=16000,
+        repeat_pad=False,
+    )
+    b = SCLViewBatchBuilder(spec, str(root), utts, _resources(root))
+    _, wav, labels = b.build(1)
+    assert wav.shape == (1 + 1 + 2 * 2, 16000)
+    assert int(labels.sum()) == 2
+
+
+def test_builder_deterministic_per_epoch(db):
+    root, utts = db
+    spec = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, trim_length=8000,
+    )
+    b = SCLViewBatchBuilder(spec, str(root), utts, _resources(root), seed=7)
+    _, w1, _ = b.build(2, epoch=3)
+    _, w2, _ = b.build(2, epoch=3)
+    _, w3, _ = b.build(2, epoch=4)
+    np.testing.assert_array_equal(w1, w2)
+    assert not np.allclose(w1, w3)
+
+
+def test_offline_aug_cache(db, tmp_path):
+    root, utts = db
+    res = AugmentResources(aug_dir=str(tmp_path / "aug"), online=False)
+    spec = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, trim_length=8000,
+    )
+    b = SCLViewBatchBuilder(spec, str(root), utts, res)
+    b.build(0)
+    cached = os.listdir(tmp_path / "aug" / "RawBoost12")
+    assert utts[0] in cached  # anchor cached under its utt id
+
+
+def test_train_loader_batches(db):
+    root, utts = db
+    spec = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, trim_length=8000,
+    )
+    b = SCLViewBatchBuilder(spec, str(root), utts, _resources(root))
+    loader = TrainLoader(b, groups_per_step=2, num_workers=2, seed=5)
+    assert len(loader) == 2  # 5 items, drop_last
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["wav"].shape == (2, spec.num_views, 8000)
+    assert batches[0]["labels"].shape == (2, spec.num_views)
+    # epoch shuffling is seeded: same epoch -> same order
+    again = list(loader.epoch(0))
+    assert [b["utts"] for b in again] == [b["utts"] for b in batches]
+
+
+def test_eval_loader_fixed_shapes(db):
+    root, utts = db
+    ds = EvalDataset(utts, str(root), padding_type="zero", cut=16000)
+    loader = EvalLoader(ds, batch_size=2, num_workers=2)
+    shapes = []
+    seen = []
+    for wav, ids in loader:
+        shapes.append(wav.shape)
+        seen += ids
+    assert all(s == (2, 16000) for s in shapes)  # final batch padded up
+    assert seen == utts
+
+
+def test_spec_from_config_reference_yaml():
+    from scl_deepfake_audio_detection_tpu.utils.config import load_config
+
+    import conftest
+
+    cfg = load_config(f"{conftest.REFERENCE}/configs/conf-3-linear.yaml")
+    spec = spec_from_config(cfg.data.name, cfg.data.kwargs)
+    assert spec.variant == "augall_3"
+    assert spec.num_views == 11
+    assert spec.trim_length == 64000

@@ -1,0 +1,169 @@
+"""XLS-R encoder numerics: parity vs. HuggingFace Wav2Vec2 (torch CPU).
+
+The reference's SSL frontend is fairseq's wav2vec2 XLSR-300M
+(``model/xlsr.py:14-21``). fairseq is not installable here, but HF's
+``Wav2Vec2Model`` with ``do_stable_layer_norm=True, feat_extract_norm='layer'``
+is the same architecture, so converting a tiny random HF model through
+``models/convert.from_hf_state_dict`` and comparing outputs validates every
+op in our graph (conv encoder, LNs, pos-conv weight-norm contraction,
+pre-norm attention/FFN stack).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.models import xlsr as X
+from scl_deepfake_audio_detection_tpu.models.convert import (
+    config_from_hf,
+    from_hf_state_dict,
+)
+
+
+def _tiny_hf_model(seed=0):
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    torch.manual_seed(seed)
+    hf_cfg = Wav2Vec2Config(
+        vocab_size=16,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        conv_bias=True,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    model = Wav2Vec2Model(hf_cfg).eval()
+    return model, hf_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    model, hf_cfg = _tiny_hf_model()
+    cfg = config_from_hf(hf_cfg)
+    params = from_hf_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def test_config_from_hf(tiny_pair):
+    _, cfg, _ = tiny_pair
+    assert cfg.conv_layers == ((16, 10, 5), (16, 3, 2), (16, 3, 2))
+    assert cfg.encoder_dim == 32 and cfg.encoder_layers == 2 and cfg.num_heads == 4
+
+
+def test_frame_count_matches_reference_shapes():
+    cfg = X.XLSRConfig.xlsr_300m()
+    # reference model/xlsr.py:41 -> [B, 201, 1024] for 64600 samples
+    assert cfg.num_frames(64600) == 201
+    assert cfg.num_frames(64000) == 199
+
+
+def test_forward_matches_hf(tiny_pair):
+    import torch
+
+    model, cfg, params = tiny_pair
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 3200)).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(wav)).last_hidden_state.numpy()
+
+    out = X.extract_features(params, cfg, jnp.asarray(wav))
+    out = np.asarray(out)
+
+    assert out.shape == ref.shape
+    err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 2e-4, f"relative max err {err}"
+
+
+def test_feature_encoder_matches_hf(tiny_pair):
+    import torch
+
+    model, cfg, params = tiny_pair
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=(1, 1600)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model.feature_extractor(torch.from_numpy(wav)).transpose(1, 2).numpy()
+
+    out = np.asarray(X.feature_encoder(params, cfg, jnp.asarray(wav)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_scan_equals_unrolled(tiny_pair):
+    """lax.scan over stacked layers == sequential layer application."""
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 7, cfg.encoder_dim)).astype(np.float32))
+
+    out_scan = X.transformer_encoder(params, cfg, x)
+
+    stacked = params["encoder"]["layers"]
+    y = x + X._pos_conv_embed(params, cfg, x)
+    for i in range(cfg.encoder_layers):
+        layer = jax.tree.map(lambda p: p[i], stacked)
+        y = X._encoder_layer(layer, cfg, y, None, None, True)
+    from scl_deepfake_audio_detection_tpu.ops.layers import layer_norm
+
+    out_seq = layer_norm(params["encoder"]["final_ln"], y, cfg.layer_norm_eps)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_seq), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_matches_no_remat(tiny_pair):
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.normal(size=(1, 1600)).astype(np.float32))
+    a = X.extract_features(params, cfg, wav)
+    b = X.extract_features(params, cfg.with_(remat=True), wav)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_grad_flows_and_is_finite(tiny_pair):
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(4)
+    wav = jnp.asarray(rng.normal(size=(1, 1600)).astype(np.float32))
+
+    def loss_fn(p):
+        return jnp.sum(X.extract_features(p, cfg.with_(remat=True), wav) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_tiny_init_shapes():
+    cfg = X.XLSRConfig.tiny()
+    params = X.init_xlsr(jax.random.key(0), cfg)
+    wav = jnp.zeros((2, 3200))
+    out = X.extract_features(params, cfg, wav)
+    assert out.shape == (2, cfg.num_frames(3200), cfg.encoder_dim)
+
+
+def test_bf16_compute_close_to_fp32(tiny_pair):
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.normal(size=(1, 3200)).astype(np.float32))
+    a = np.asarray(X.extract_features(params, cfg, wav))
+    b = np.asarray(
+        X.extract_features(params, cfg.with_(compute_dtype="bfloat16"), wav)
+    ).astype(np.float32)
+    # bf16 matmuls with fp32 LN/softmax should track fp32 to ~1e-2 relative
+    rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+    assert rel < 5e-2, rel
