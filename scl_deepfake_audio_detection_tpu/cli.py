@@ -174,7 +174,7 @@ def main(argv=None) -> int:
     rng_key = jax.random.key(args.seed)
 
     params = _init_params(args, model, rng_key)
-    opt_state = None
+    buffers = None
     if args.model_path:
         if args.model_path.endswith(".pth"):
             print("note: reference .pth head checkpoints need the matching SSL "
@@ -182,8 +182,11 @@ def main(argv=None) -> int:
         else:
             tree, extra = ckpt.load(args.model_path)
             params = tree["params"] if "params" in tree else tree
+            buffers = tree.get("buffers") if isinstance(tree, dict) else None
             print(f"loaded checkpoint {args.model_path} (extra={extra})")
-    params, opt_state = engine.init_state(rng_key, params=params)
+    params, buffers, opt_state = engine.init_state(
+        rng_key, params=params, buffers=buffers
+    )
 
     desc = DATASETS.get(cfg.data.name)
 
@@ -206,11 +209,11 @@ def main(argv=None) -> int:
         t0 = time.time()
 
         def score_fn(wav):
-            return engine.score_step(params, wav)
+            return engine.score_step(params, buffers, wav)
 
         if args.emb:
             def emb_fn(wav):
-                o = model.apply(params, wav, train=False)
+                o = model.apply(params, wav, train=False, buffers=buffers)
                 return o.log_probs, o.emb
 
             scoring.produce_emb_file(loader, emb_fn, out)
@@ -271,6 +274,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     engine.fit(
         params,
+        buffers,
         opt_state,
         train_batches=train_batches,
         dev_batches=lambda: dev_loader.epoch(0),

@@ -28,9 +28,33 @@ class ModelOutput(NamedTuple):
     log_probs: jnp.ndarray  # [N, num_classes] log-softmax outputs
     feats: jnp.ndarray  # [N, T, D] frame-level features (pre-activation)
     emb: jnp.ndarray  # [N, D] utterance embedding
+    logits: Optional[jnp.ndarray] = None  # [N, num_classes] pre-softmax
 
 
 def scores_from_log_probs(log_probs: jnp.ndarray) -> jnp.ndarray:
     """Bonafide detection score = log-prob of class 1 (reference
     ``main.py:193``: ``score = cm[1]``)."""
     return log_probs[..., 1]
+
+
+def model_buffers(model) -> Params:
+    """Initial non-trainable state (batch-norm running stats) of a model.
+
+    Models with BN heads set ``has_buffers = True`` and implement
+    ``init_buffers()``; ``apply(..., buffers=..., mutable=True)`` then returns
+    ``(ModelOutput, new_buffers)``.  Stateless models get an empty pytree —
+    jit folds it away, so one engine signature serves both.
+    """
+    if getattr(model, "has_buffers", False):
+        return model.init_buffers()
+    return {}
+
+
+def eval_scores(model, out: ModelOutput) -> jnp.ndarray:
+    """The two columns the reference writes to eval score files: log-probs
+    for the NLL-head models, raw logits for the resnet/aasist heads (which
+    apply no final log_softmax).  Models override via ``eval_scores``."""
+    fn = getattr(model, "eval_scores", None)
+    if fn is not None:
+        return fn(out)
+    return out.log_probs

@@ -77,7 +77,9 @@ class LinearNLL:
         wav: jnp.ndarray,
         train: bool = False,
         rng: Optional[jax.Array] = None,
-    ) -> ModelOutput:
+        buffers: Optional[Params] = None,
+        mutable: bool = False,
+    ):
         """wav [N, T_samples] -> ModelOutput.
 
         ``flag_fix_ssl`` freezes the SSL frontend: eval-mode (no dropout) and
@@ -107,9 +109,12 @@ class LinearNLL:
             x = dropout(r, x, self.dropout, deterministic=not train)
 
         emb = jnp.mean(x, axis=1)  # [N, emb]
-        logits = linear(params["backend"]["out"], emb, cdtype)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return ModelOutput(log_probs=log_probs, feats=feats, emb=emb)
+        logits = linear(params["backend"]["out"], emb, cdtype).astype(jnp.float32)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        out = ModelOutput(log_probs=log_probs, feats=feats, emb=emb, logits=logits)
+        if mutable:
+            return out, {}
+        return out
 
     # ------------------------------------------------------------------ loss
     def loss(self, out: ModelOutput, labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -117,6 +117,138 @@ def conv1d(
     return y
 
 
+def init_conv2d(
+    key,
+    in_dim: int,
+    out_dim: int,
+    kernel,
+    bias: bool = True,
+    dtype=jnp.float32,
+) -> Params:
+    """2-D conv kernel stored [KH, KW, in, out] ('HWIO'). Torch-style uniform
+    fan-in init (matches nn.Conv2d defaults for comparable starting loss)."""
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else tuple(kernel)
+    kw_key, kb_key = jax.random.split(key)
+    fan_in = in_dim * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(kw_key, (kh, kw, in_dim, out_dim), dtype, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb_key, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def conv2d(
+    p: Params,
+    x: jnp.ndarray,
+    stride=(1, 1),
+    padding="VALID",
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """x: [B, H, W, C_in] -> [B, H', W', C_out]. NHWC layout (TPU-native —
+    channels on the minor/lane axis so XLA tiles convs onto the MXU).
+    ``padding`` is 'VALID'/'SAME' or [(lo,hi),(lo,hi)]."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    stride = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    pad = padding if isinstance(padding, str) else [tuple(q) for q in padding]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=PRECISION,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def max_pool2d(x: jnp.ndarray, window, stride=None) -> jnp.ndarray:
+    """Torch-style max pool over [B, H, W, C]: floor-division output size
+    (VALID padding), stride defaults to the window."""
+    wh, ww = (window, window) if isinstance(window, int) else tuple(window)
+    sh, sw = (wh, ww) if stride is None else (
+        (stride, stride) if isinstance(stride, int) else tuple(stride)
+    )
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, wh, ww, 1),
+        window_strides=(1, sh, sw, 1),
+        padding="VALID",
+    )
+
+
+def selu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.selu(x)
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.01) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def init_batch_norm(dim: int, dtype=jnp.float32) -> Params:
+    """Affine batch-norm params; running stats live in a separate buffers
+    pytree (see ``batch_norm``) so the optimizer never touches them."""
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_bn_buffers(dim: int) -> Params:
+    return {"mean": jnp.zeros((dim,), jnp.float32), "var": jnp.ones((dim,), jnp.float32)}
+
+
+def batch_norm(
+    p: Params,
+    buf: Params,
+    x: jnp.ndarray,
+    train: bool,
+    eps: float = 1e-5,
+    momentum: float = 0.1,
+):
+    """Channel-last batch norm over all leading axes.
+
+    Train mode normalizes with the current batch's statistics and returns
+    EMA-updated running stats (torch convention: ``new = (1-m)*old + m*batch``,
+    running var uses the unbiased batch variance); eval mode uses the running
+    stats.  Returns ``(y, new_buf)`` — callers thread ``new_buf`` through the
+    training loop.  fp32 statistics regardless of compute dtype.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
+        n = x32.size // x32.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_buf = {
+            "mean": (1 - momentum) * buf["mean"] + momentum * mean,
+            "var": (1 - momentum) * buf["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = buf["mean"], buf["var"]
+        new_buf = buf
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype), new_buf
+
+
+def init_embedding(key, num: int, dim: int, std: Optional[float] = None, dtype=jnp.float32) -> Params:
+    """Token embedding table [num, dim], N(0, std) init (std defaults to 1
+    like torch nn.Embedding)."""
+    std = 1.0 if std is None else std
+    return {"w": std * jax.random.normal(key, (num, dim), dtype)}
+
+
+def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["w"], ids, axis=0)
+
+
 def dropout(
     key: Optional[jax.Array], x: jnp.ndarray, rate: float, deterministic: bool
 ) -> jnp.ndarray:

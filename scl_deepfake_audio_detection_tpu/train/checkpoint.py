@@ -96,9 +96,10 @@ def load(path: str) -> Tuple[Any, Dict[str, Any]]:
 
 
 def save_train_state(
-    path: str, params, opt_state, epoch: int, rng_key, best: float
+    path: str, params, opt_state, epoch: int, rng_key, best: float, buffers=None
 ) -> None:
-    """Full-state checkpoint: everything needed for exact resume."""
+    """Full-state checkpoint: everything needed for exact resume (params,
+    optimizer, BN running-stat buffers, epoch, RNG)."""
     state = {
         "params": params,
         "opt_state_leaves": {
@@ -106,19 +107,31 @@ def save_train_state(
         },
         "rng": jax.random.key_data(rng_key),
     }
+    if buffers:
+        state["buffers"] = buffers
     save(path, state, extra={"epoch": epoch, "best": best})
 
 
 def load_train_state(path: str, opt_state_template):
-    """Restore (params, opt_state, epoch, rng_key, best) using a freshly
-    initialized opt state as the structure template."""
+    """Restore (params, buffers, opt_state, epoch, rng_key, best) using a
+    freshly initialized opt state as the structure template."""
     tree, extra = load(path)
     leaves_dict = tree["opt_state_leaves"]
-    leaves = [leaves_dict[str(i)] for i in range(len(leaves_dict))]
+    if isinstance(leaves_dict, list):  # contiguous digit keys listify on load
+        leaves = leaves_dict
+    else:
+        leaves = [leaves_dict[str(i)] for i in range(len(leaves_dict))]
     treedef = jax.tree.structure(opt_state_template)
     opt_state = jax.tree.unflatten(treedef, leaves)
     rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
-    return tree["params"], opt_state, int(extra["epoch"]), rng, float(extra["best"])
+    return (
+        tree["params"],
+        tree.get("buffers", {}),
+        opt_state,
+        int(extra["epoch"]),
+        rng,
+        float(extra["best"]),
+    )
 
 
 def load_reference_head_checkpoint(path: str):

@@ -40,11 +40,19 @@ from scl_deepfake_audio_detection_tpu.train.optim import (
 from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
 
 
-def _loss_and_metrics(params, model, batch, rng, loss_scope: str):
-    """batch: {'wav': [G, V, T], 'labels': [G, V]} -> (total, metrics)."""
+def _loss_and_metrics(params, buffers, model, batch, rng, train, loss_scope: str):
+    """batch: {'wav': [G, V, T], 'labels': [G, V]} -> (total, (metrics, buf)).
+
+    BN-headed models normalize with statistics of the *global* logical batch
+    (sync-BN): the stats reductions see globally-shaped arrays, so under data
+    sharding XLA inserts the cross-replica all-reduce automatically.
+    """
     wav, labels = batch["wav"], batch["labels"]
     g, v = wav.shape[0], wav.shape[1]
-    out = model.apply(params, wav.reshape(g * v, -1), train=True, rng=rng)
+    out, new_buffers = model.apply(
+        params, wav.reshape(g * v, -1), train=train, rng=rng,
+        buffers=buffers, mutable=True,
+    )
 
     if loss_scope == "global":
         terms = model.loss(out, labels.reshape(-1))
@@ -57,25 +65,27 @@ def _loss_and_metrics(params, model, batch, rng, loss_scope: str):
     pred = jnp.argmax(out.log_probs, axis=-1)
     acc = jnp.mean((pred == labels.reshape(-1).astype(pred.dtype)).astype(jnp.float32))
     metrics = {"loss": total, "accuracy": acc, **terms}
-    return total, metrics
+    return total, (metrics, new_buffers)
 
 
-def _train_step(params, opt_state, batch, rng, *, model, optimizer, loss_scope):
-    (_, metrics), grads = jax.value_and_grad(
+def _train_step(params, buffers, opt_state, batch, rng, *, model, optimizer, loss_scope):
+    (_, (metrics, buffers)), grads = jax.value_and_grad(
         _loss_and_metrics, has_aux=True
-    )(params, model, batch, rng, loss_scope)
+    )(params, buffers, model, batch, rng, True, loss_scope)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), params, updates)
-    return params, opt_state, metrics
+    return params, buffers, opt_state, metrics
 
 
-def _eval_step(params, batch, *, model, loss_scope):
-    _, metrics = _loss_and_metrics(params, model, batch, None, loss_scope)
+def _eval_step(params, buffers, batch, *, model, loss_scope):
+    _, (metrics, _) = _loss_and_metrics(
+        params, buffers, model, batch, None, False, loss_scope
+    )
     return metrics
 
 
-def _score_step(params, wav, *, model):
-    return model.apply(params, wav, train=False).log_probs
+def _score_step(params, buffers, wav, *, model):
+    return model.apply(params, wav, train=False, buffers=buffers).log_probs
 
 
 class Engine:
@@ -97,7 +107,7 @@ class Engine:
             functools.partial(
                 _train_step, model=model, optimizer=self.optimizer, loss_scope=scope
             ),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
         self.eval_step = jax.jit(
             functools.partial(_eval_step, model=model, loss_scope=scope)
@@ -105,38 +115,46 @@ class Engine:
         self.score_step = jax.jit(functools.partial(_score_step, model=model))
 
     # ----------------------------------------------------------- state setup
-    def init_state(self, rng_key, params=None):
+    def init_state(self, rng_key, params=None, buffers=None):
+        """-> (params, buffers, opt_state). ``buffers`` is the BN running-stat
+        pytree ({} for stateless models) — replicated across the mesh."""
+        from scl_deepfake_audio_detection_tpu.models.base import model_buffers
+
         params = params if params is not None else self.model.init(rng_key)
         params = shard_params(params, self.mesh)
+        buffers = buffers if buffers is not None else model_buffers(self.model)
+        buffers = shard_params(buffers, self.mesh)
         opt_state = self.optimizer.init(params)
-        return params, opt_state
+        return params, buffers, opt_state
 
     def place_batch(self, batch):
         return shard_batch(batch, self.mesh)
 
     # ---------------------------------------------------------------- epochs
     def run_epoch(
-        self, params, opt_state, batches: Iterable[Dict[str, Any]], rng_key
-    ) -> Tuple[Any, Any, Dict[str, float]]:
+        self, params, buffers, opt_state, batches: Iterable[Dict[str, Any]], rng_key
+    ) -> Tuple[Any, Any, Any, Dict[str, float]]:
         """One training epoch. ``batches`` yields {'wav': [G,V,T], 'labels':
         [G,V]} numpy arrays."""
         agg: Dict[str, float] = {}
         n = 0
         for i, batch in enumerate(batches):
             step_rng = jax.random.fold_in(rng_key, i)
-            params, opt_state, metrics = self.train_step(
-                params, opt_state, self.place_batch(batch), step_rng
+            params, buffers, opt_state, metrics = self.train_step(
+                params, buffers, opt_state, self.place_batch(batch), step_rng
             )
             for k, val in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(val)
             n += 1
-        return params, opt_state, {k: val / max(n, 1) for k, val in agg.items()}
+        return params, buffers, opt_state, {k: val / max(n, 1) for k, val in agg.items()}
 
-    def run_validation(self, params, batches: Iterable[Dict[str, Any]]) -> Dict[str, float]:
+    def run_validation(
+        self, params, buffers, batches: Iterable[Dict[str, Any]]
+    ) -> Dict[str, float]:
         agg: Dict[str, float] = {}
         n = 0
         for batch in batches:
-            metrics = self.eval_step(params, self.place_batch(batch))
+            metrics = self.eval_step(params, buffers, self.place_batch(batch))
             for k, val in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(val)
             n += 1
@@ -145,6 +163,7 @@ class Engine:
     def fit(
         self,
         params,
+        buffers,
         opt_state,
         train_batches: Callable[[], Iterable[Dict[str, Any]]],
         dev_batches: Callable[[], Iterable[Dict[str, Any]]],
@@ -166,10 +185,10 @@ class Engine:
             opt_state = set_learning_rate(opt_state, lr)
             t0 = time.time()
             epoch_rng = jax.random.fold_in(rng_key, epoch)
-            params, opt_state, train_m = self.run_epoch(
-                params, opt_state, train_batches(), epoch_rng
+            params, buffers, opt_state, train_m = self.run_epoch(
+                params, buffers, opt_state, train_batches(), epoch_rng
             )
-            val_m = self.run_validation(params, dev_batches())
+            val_m = self.run_validation(params, buffers, dev_batches())
             record = {
                 "epoch": epoch,
                 "lr": lr,
@@ -192,7 +211,8 @@ class Engine:
                     epoch,
                     rng_key,
                     stopper.best,
+                    buffers=buffers,
                 )
             if stopper.early_stop:
                 break
-        return params, opt_state
+        return params, buffers, opt_state

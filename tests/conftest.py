@@ -7,7 +7,10 @@ path).  Must set the env before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the session environment may pre-set JAX_PLATFORMS to
+# a real accelerator (e.g. a tunneled TPU), which would serialize every test
+# through one remote chip and break the 8-device virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
@@ -17,8 +20,13 @@ if "xla_cpu_enable_fast_math" not in flags:
     flags += " --xla_cpu_enable_fast_math=false"
 os.environ["XLA_FLAGS"] = flags.strip()
 
+import jax
 import numpy as np
 import pytest
+
+# A site-level accelerator plugin (tunneled TPU) may override JAX_PLATFORMS
+# via jax.config during interpreter startup; config beats env, so re-force it.
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE = "/root/reference"
 
