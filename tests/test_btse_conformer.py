@@ -1,0 +1,212 @@
+"""BTSE model, bio segmentation, rel-pos transformer, and Conformer blocks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.dsp.biosegment import (
+    BREATHING,
+    SILENCE,
+    TALKING,
+    num_bio_tokens,
+    wav2bio,
+)
+from scl_deepfake_audio_detection_tpu.models.btse import XLSRBtse
+from scl_deepfake_audio_detection_tpu.models.conformer import (
+    ConformerConfig,
+    conformer,
+    init_conformer,
+)
+from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+from scl_deepfake_audio_detection_tpu.ops.relpos_transformer import (
+    _abs_to_rel,
+    _rel_to_abs,
+    init_relpos_encoder,
+    relpos_encoder,
+)
+from scl_deepfake_audio_detection_tpu.utils.registry import MODELS
+
+TINY = XLSRConfig.tiny()
+
+
+# -------------------------------------------------------------- biosegment
+
+
+def test_wav2bio_token_semantics():
+    """Loud span -> talking, quiet span -> breathing, near-zero -> silence."""
+    sr, hop = 16000, 320
+    wav = np.zeros(sr, np.float32)
+    # frame-aligned sections (hop = 320 samples = 20 ms)
+    wav[:3200] = 0.5 * np.random.default_rng(0).normal(size=3200)  # loud
+    wav[3200:6400] = 3e-3 * np.random.default_rng(1).normal(size=3200)  # quiet
+    tokens = np.asarray(wav2bio(jnp.asarray(wav)))
+    assert tokens.shape == (num_bio_tokens(sr),) == (50,)
+    assert (tokens[:10] == TALKING).all()
+    assert (tokens[10:20] == BREATHING).all()
+    assert (tokens[20:] == SILENCE).all()
+
+
+def test_wav2bio_batched_and_static():
+    wavs = np.random.default_rng(0).normal(size=(3, 6400)).astype(np.float32)
+    tok = wav2bio(jnp.asarray(wavs))
+    assert tok.shape == (3, num_bio_tokens(6400))
+    # jittable with static output shape
+    tok2 = jax.jit(wav2bio)(jnp.asarray(wavs))
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(tok2))
+
+
+# --------------------------------------------------- rel-pos index shuffles
+
+
+def test_rel_to_abs_matches_naive(rng):
+    """rel_to_abs places rel index m = (j - i + L - 1) at abs cell (i, j)."""
+    b, h, l = 1, 2, 5
+    x = jnp.asarray(rng.normal(size=(b, h, l, 2 * l - 1)).astype(np.float32))
+    got = np.asarray(_rel_to_abs(x))
+    want = np.zeros((b, h, l, l), np.float32)
+    for i in range(l):
+        for j in range(l):
+            want[:, :, i, j] = np.asarray(x)[:, :, i, j - i + l - 1]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_abs_to_rel_inverts_rel_to_abs(rng):
+    b, h, l = 2, 2, 6
+    abs_w = jnp.asarray(rng.normal(size=(b, h, l, l)).astype(np.float32))
+    rel = _abs_to_rel(abs_w)
+    # round trip back to absolute recovers the original
+    back = _rel_to_abs(rel)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(abs_w), atol=1e-6)
+
+
+def test_relpos_encoder_mask_invariance(rng):
+    """Padding positions must not affect valid outputs."""
+    p = init_relpos_encoder(jax.random.key(0), dim=16, ffn_dim=32,
+                            num_heads=4, num_layers=2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 1, 0, 0, 0]], np.float32))
+    y1 = relpos_encoder(p, x, mask)
+    x2 = x.at[:, 5:].set(99.0)  # garbage in padding
+    y2 = relpos_encoder(p, x2, mask)
+    np.testing.assert_allclose(
+        np.asarray(y1[:, :5]), np.asarray(y2[:, :5]), atol=1e-4
+    )
+    # masked positions are zeroed
+    np.testing.assert_allclose(np.asarray(y1[:, 5:]), 0.0, atol=1e-6)
+
+
+# --------------------------------------------------------------------- BTSE
+
+
+@pytest.fixture(scope="module")
+def btse_setup():
+    model = XLSRBtse(ssl=TINY)
+    params = model.init(jax.random.key(0))
+    wav = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 3200)).astype(np.float32) * 0.1
+    )
+    return model, params, wav
+
+
+def test_btse_forward_contract(btse_setup):
+    model, params, wav = btse_setup
+    out = model.apply(params, wav, train=False)
+    assert out.log_probs.shape == (4, 2)
+    assert out.emb.shape == (4, model.feat_dim + model.bio_out)  # concat mode
+    assert out.feats.shape[0] == 4 and out.feats.shape[2] == 128
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(out.log_probs).sum(-1)), 1.0, rtol=1e-5
+    )
+
+
+def test_btse_add_mode():
+    model = XLSRBtse(ssl=TINY, is_add=True)
+    params = model.init(jax.random.key(0))
+    wav = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 3200)).astype(np.float32)
+    )
+    out = model.apply(params, wav, train=False)
+    assert out.emb.shape == (2, model.bio_out)
+
+
+def test_btse_loss_and_grad(btse_setup):
+    model, params, wav = btse_setup
+    labels = jnp.asarray(np.array([1, 1, 0, 0], np.int32))
+
+    def loss_fn(p):
+        out = model.apply(p, wav, train=True, rng=jax.random.key(1))
+        return sum(model.loss(out, labels).values())
+
+    val, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    # bio-encoder params receive gradient (conditioning path is live)
+    bio_g = jax.tree.leaves(g["bio_encoder"])
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in bio_g)
+
+
+def test_btse_bio_conditioning_changes_output(btse_setup):
+    """Same waveform, different bio tokens -> different scores (the
+    conditioning path is not dead)."""
+    model, params, wav = btse_setup
+    t_bio = wav.shape[1] // 320
+    bio_a = jnp.zeros((4, t_bio), jnp.int32)
+    bio_b = jnp.ones((4, t_bio), jnp.int32)
+    out_a = model.apply(params, wav, train=False, bio=bio_a)
+    out_b = model.apply(params, wav, train=False, bio=bio_b)
+    assert not np.allclose(np.asarray(out_a.log_probs), np.asarray(out_b.log_probs))
+
+
+def test_btse_registry():
+    assert MODELS.get("wav2vec2_btse") is XLSRBtse
+    assert MODELS.get("xlsr_btse") is XLSRBtse
+
+
+def test_btse_from_reference_yaml():
+    from scl_deepfake_audio_detection_tpu.utils.config import load_config
+
+    cfg = load_config("/root/reference/configs/conf-5-btse-trans64.yaml")
+    model = MODELS.get(cfg.model.name).from_config(cfg.model, ssl=TINY)
+    assert model.bio_dim == 32 and model.bio_out == 64
+    assert model.n_heads == 4 and model.n_layers == 3
+    assert model.is_add is False and model.n_bios == 3
+
+
+# ---------------------------------------------------------------- Conformer
+
+
+def test_conformer_shapes_and_grad(rng):
+    cfg = ConformerConfig(dim=16, depth=2, dim_head=8, heads=2, conv_kernel=7,
+                          max_pos_emb=16)
+    params, buffers = init_conformer(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 12, 16)).astype(np.float32))
+    y, nb = conformer(params, buffers, x, cfg, train=True,
+                      rng=jax.random.key(1))
+    assert y.shape == (2, 12, 16)
+    assert np.isfinite(np.asarray(y)).all()
+    # BN buffers update in train mode
+    assert not np.allclose(
+        np.asarray(nb["blocks"][0]["conv"]["bn"]["mean"]),
+        np.asarray(buffers["blocks"][0]["conv"]["bn"]["mean"]),
+    )
+
+    def loss(p):
+        out, _ = conformer(p, buffers, x, cfg)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_conformer_rel_pos_translation_bias(rng):
+    """The rel-pos bias depends only on (i - j): two positions at equal offset
+    share the embedding row. Check the static index construction."""
+    cfg = ConformerConfig(dim=8, depth=1, dim_head=4, heads=2, conv_kernel=3,
+                          max_pos_emb=4)
+    params, buffers = init_conformer(jax.random.key(0), cfg)
+    from scl_deepfake_audio_detection_tpu.models.conformer import _rel_pos_bias
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 6, 4)).astype(np.float32))
+    bias = np.asarray(_rel_pos_bias(params["blocks"][0]["attn"], q, cfg))
+    assert bias.shape == (1, 2, 6, 6)
