@@ -170,3 +170,25 @@ def time_mask_wrapper(wav, rng, res, utt_id=None):
 @AUGMENTATIONS.register("freq_mask")
 def freq_mask_wrapper(wav, rng, res, utt_id=None):
     return A.freq_mask(wav, rng, sr=res.sample_rate)
+
+
+@AUGMENTATIONS.register("telephone_wrapper", aliases=("telephone",))
+@_cached("telephone")
+def telephone_wrapper(wav, rng, res):
+    """Telephone-channel simulation: 300-3400 Hz bandpass + G.711 companding
+    round trip (capability match for audio_augmentor/telephone.py; this image
+    has no ffmpeg/torchaudio, see dsp/codec.py)."""
+    from scl_deepfake_audio_detection_tpu.dsp.codec import telephone_effect
+
+    law = "alaw" if rng.integers(2) == 0 else "ulaw"
+    return telephone_effect(wav, sr=res.sample_rate, encoding=law)
+
+
+@AUGMENTATIONS.register("codec_wrapper", aliases=("codec",))
+@_cached("codec")
+def codec_wrapper(wav, rng, res):
+    """Lossy codec round trip (reference wav_codec: random mp3/opus bitrate;
+    G.711 fallback without ffmpeg)."""
+    from scl_deepfake_audio_detection_tpu.dsp.codec import random_codec
+
+    return random_codec(wav, rng, sr=res.sample_rate)
