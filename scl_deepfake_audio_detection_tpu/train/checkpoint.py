@@ -134,6 +134,40 @@ def load_train_state(path: str, opt_state_template):
     )
 
 
+def load_pretrained_partially(params, pretrained, subtrees=None):
+    """Overlay matching subtrees of a pretrained param pytree onto ``params``
+    (capability match for NII ``f_load_pretrained_model_partially``,
+    ``core_scripts/nn_manager/nn_manager_tools.py:214``).
+
+    ``subtrees``: top-level keys to take from ``pretrained`` (default: every
+    key present in both).  Leaf shapes must match; mismatches raise with the
+    offending path.
+    """
+    import copy
+
+    out = copy.copy(params)
+    keys = subtrees if subtrees is not None else [
+        k for k in pretrained if k in params
+    ]
+    for k in keys:
+        ref_leaves = jax.tree_util.tree_leaves_with_path(params[k])
+        new_leaves = {
+            jax.tree_util.keystr(p): l
+            for p, l in jax.tree_util.tree_leaves_with_path(pretrained[k])
+        }
+        for p, leaf in ref_leaves:
+            ks = jax.tree_util.keystr(p)
+            if ks not in new_leaves:
+                raise KeyError(f"pretrained tree missing {k}{ks}")
+            if tuple(np.shape(new_leaves[ks])) != tuple(np.shape(leaf)):
+                raise ValueError(
+                    f"shape mismatch at {k}{ks}: "
+                    f"{np.shape(new_leaves[ks])} vs {np.shape(leaf)}"
+                )
+        out[k] = jax.tree.map(jnp.asarray, pretrained[k])
+    return out
+
+
 def load_reference_head_checkpoint(path: str):
     """Read a reference ``epoch_N.pth`` (torch state_dict) and return it as a
     flat numpy dict with ``module.``/``_orig_mod.`` prefixes stripped, the way

@@ -100,7 +100,11 @@ class Engine:
         self.model = model
         self.cfg = train_cfg or TrainConfig()
         self.mesh = mesh if mesh is not None else make_mesh(self.cfg.mesh_shape)
-        self.optimizer = make_optimizer(self.cfg.weight_decay)
+        self.optimizer = make_optimizer(
+            self.cfg.weight_decay,
+            grad_clip_norm=getattr(self.cfg, "grad_clip_norm", None),
+            grad_accum_steps=getattr(self.cfg, "grad_accum_steps", 1),
+        )
 
         scope = self.cfg.loss_scope
         self.train_step = jax.jit(

@@ -34,20 +34,51 @@ def cyclic_exp_lr(
     return base_lr + (max_lr - base_lr) * max(0.0, 1.0 - x) * (gamma**epoch)
 
 
-def make_optimizer(weight_decay: float = 1e-4) -> optax.GradientTransformation:
+def make_optimizer(
+    weight_decay: float = 1e-4,
+    grad_clip_norm: float | None = None,
+    grad_accum_steps: int = 1,
+) -> optax.GradientTransformation:
     """AdamW with an externally supplied per-step learning rate.
 
-    ``optax.scale_by_learning_rate`` is driven through ``inject_hyperparams``
-    so the host can set the epoch's LR without recompiling the train step.
+    ``optax.adamw`` is driven through ``inject_hyperparams`` so the host can
+    set the epoch's LR without recompiling the train step.  Optional
+    global-norm gradient clipping and multi-step accumulation cover the NII
+    trainer's --grad-clip-norm / --accumulate capabilities
+    (``core_scripts/config_parse/arg_parse.py``).
     """
-    return optax.inject_hyperparams(optax.adamw)(
+    tx = optax.inject_hyperparams(optax.adamw)(
         learning_rate=0.0, weight_decay=weight_decay
     )
+    if grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
+
+
+def _find_hyperparams(opt_state):
+    """Locate the inject_hyperparams state inside possibly-wrapped opt state
+    (clip chain and/or MultiSteps change the pytree nesting)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiSteps
+        return _find_hyperparams(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)):  # optax.chain
+        for sub in opt_state:
+            found = _find_hyperparams(sub)
+            if found is not None:
+                return found
+        return None
+    return None
 
 
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in-place on the opt state pytree."""
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    hp = _find_hyperparams(opt_state)
+    if hp is None:
+        raise ValueError("no inject_hyperparams state found in optimizer state")
+    hp.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
     return opt_state
 
 

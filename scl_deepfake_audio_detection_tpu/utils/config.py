@@ -123,6 +123,9 @@ class TrainConfig:
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     loss_scope: str = "group"  # 'group': per anchor-group SupCon (reference
     # semantics at bs=1); 'global': all-gather embeddings, global-batch SupCon
+    grad_clip_norm: Optional[float] = None  # global-norm clip (NII arg_parse
+    # --grad-clip-norm capability; reference active path never clips)
+    grad_accum_steps: int = 1  # optax.MultiSteps microbatching
 
     def model_tag(self) -> str:
         # Output dir naming scheme: model_{loss}_{epochs}_{bs}_{minlr}[_{comment}]

@@ -1,0 +1,169 @@
+"""Scheduler family, Monitor, length-bucket sampler, partial pretrained load,
+grad clip/accumulation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.data.sampler import (
+    block_shuffle_by_length,
+    length_buckets,
+)
+from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+from scl_deepfake_audio_detection_tpu.train.monitor import Monitor
+from scl_deepfake_audio_detection_tpu.train.optim import (
+    make_optimizer,
+    set_learning_rate,
+)
+from scl_deepfake_audio_detection_tpu.train.schedulers import (
+    ReduceLROnPlateau,
+    cosine_warm_restarts,
+    exponential_lr,
+    step_lr,
+)
+
+
+# ------------------------------------------------------------ LR schedulers
+
+
+def test_step_and_exponential_match_torch():
+    import torch
+
+    m = torch.nn.Linear(2, 2)
+    o1 = torch.optim.SGD(m.parameters(), lr=0.1)
+    s1 = torch.optim.lr_scheduler.StepLR(o1, step_size=3, gamma=0.5)
+    o2 = torch.optim.SGD(m.parameters(), lr=0.1)
+    s2 = torch.optim.lr_scheduler.ExponentialLR(o2, gamma=0.9)
+    for epoch in range(10):
+        assert step_lr(epoch, 0.1, 3, 0.5) == pytest.approx(o1.param_groups[0]["lr"])
+        assert exponential_lr(epoch, 0.1, 0.9) == pytest.approx(
+            o2.param_groups[0]["lr"], rel=1e-6
+        )
+        s1.step()
+        s2.step()
+
+
+def test_cosine_warm_restarts_matches_torch():
+    import torch
+
+    m = torch.nn.Linear(2, 2)
+    o = torch.optim.SGD(m.parameters(), lr=0.1)
+    s = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(o, T_0=4, T_mult=2)
+    for epoch in range(12):
+        want = o.param_groups[0]["lr"]
+        got = cosine_warm_restarts(epoch, 0.1, t0=4, t_mult=2)
+        assert got == pytest.approx(want, rel=1e-6), epoch
+        s.step()
+
+
+def test_plateau_reduces_after_patience():
+    sch = ReduceLROnPlateau(base_lr=1.0, patience=2, factor=0.1)
+    lrs = [sch.step(5.0)]  # first = best
+    for _ in range(3):  # no improvement x3 > patience 2
+        lrs.append(sch.step(5.0))
+    assert lrs[-1] == pytest.approx(0.1)
+    # improvement resets
+    assert sch.step(1.0) == pytest.approx(0.1)
+    # state round trip
+    d = sch.state_dict()
+    sch2 = ReduceLROnPlateau(base_lr=1.0)
+    sch2.load_state_dict(d)
+    assert sch2.lr == sch.lr and sch2.best == sch.best
+
+
+# ----------------------------------------------------------------- Monitor
+
+
+def test_monitor_records_and_restores():
+    mon = Monitor(num_epochs=2, steps_per_epoch=3)
+    for step in range(3):
+        mon.start_step()
+        mon.log_step(0, step, {"loss": 1.0 - step * 0.1, "L_CE": 0.5})
+    assert mon.end_epoch(0)  # first epoch is best
+    m = mon.epoch_mean(0)
+    assert m["loss"] == pytest.approx(0.9)
+    assert "time" in m and m["time"] >= 0
+    assert "epoch 000" in mon.summary(0)
+
+    mon2 = Monitor.from_state_dict(mon.state_dict())
+    assert mon2.best_epoch == 0
+    np.testing.assert_array_equal(mon2.loss_mats["loss"], mon.loss_mats["loss"])
+    # a worse epoch is not best
+    mon.log_step(1, 0, {"loss": 5.0})
+    assert not mon.end_epoch(1)
+
+
+# ----------------------------------------------------------------- sampler
+
+
+def test_block_shuffle_keeps_neighbors():
+    lengths = [100, 5, 50, 7, 99, 6, 51, 101]
+    order = block_shuffle_by_length(lengths, block_size=2,
+                                    rng=np.random.default_rng(0))
+    assert sorted(order) == list(range(8))
+    # every output block is a consecutive pair of the length-sorted order
+    sorted_idx = list(np.argsort(lengths, kind="stable"))
+    want_blocks = {tuple(sorted_idx[i : i + 2]) for i in range(0, 8, 2)}
+    got_blocks = {tuple(order[i : i + 2]) for i in range(0, 8, 2)}
+    assert got_blocks == want_blocks
+
+
+def test_length_buckets_chunks_sorted():
+    lengths = [10, 3, 8, 1, 9, 2]
+    batches = list(length_buckets(lengths, batch_size=2))
+    flat = [i for b in batches for i in b]
+    assert sorted(flat) == list(range(6))
+    # batches are consecutive chunks of the length-sorted order
+    sorted_idx = [int(i) for i in np.argsort(lengths, kind="stable")]
+    assert flat == sorted_idx
+
+
+# ------------------------------------------------- partial pretrained load
+
+
+def test_load_pretrained_partially():
+    params = {"ssl": {"w": jnp.zeros((2, 2))}, "head": {"w": jnp.zeros(3)}}
+    pre = {"ssl": {"w": jnp.ones((2, 2))}, "other": {"x": jnp.ones(1)}}
+    out = ckpt.load_pretrained_partially(params, pre)
+    np.testing.assert_array_equal(np.asarray(out["ssl"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["head"]["w"]), 0.0)
+    with pytest.raises(ValueError):
+        ckpt.load_pretrained_partially(
+            params, {"ssl": {"w": jnp.ones((3, 3))}}, subtrees=["ssl"]
+        )
+    with pytest.raises(KeyError):
+        ckpt.load_pretrained_partially(params, {"ssl": {"v": jnp.ones((2, 2))}},
+                                       subtrees=["ssl"])
+
+
+# ------------------------------------------------ grad clip / accumulation
+
+
+def test_optimizer_clip_and_accum_lr_injection():
+    params = {"w": jnp.ones(4)}
+    for kwargs in [
+        {},
+        {"grad_clip_norm": 1.0},
+        {"grad_accum_steps": 2},
+        {"grad_clip_norm": 1.0, "grad_accum_steps": 2},
+    ]:
+        tx = make_optimizer(**kwargs)
+        state = tx.init(params)
+        state = set_learning_rate(state, 1e-3)  # must find hyperparams anywhere
+        grads = {"w": jnp.full(4, 10.0)}
+        updates, state = tx.update(grads, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_grad_clip_bounds_update_norm():
+    params = {"w": jnp.ones(4)}
+    tx = make_optimizer(grad_clip_norm=1e-6)
+    state = tx.init(params)
+    state = set_learning_rate(state, 1.0)
+    huge = {"w": jnp.full(4, 1e6)}
+    updates, _ = tx.update(huge, state, params)
+    # adam normalizes, but the clipped grads are tiny -> update dominated by
+    # weight decay + epsilon-scaled term; just assert it stays bounded
+    assert np.abs(np.asarray(updates["w"])).max() < 2.0
