@@ -40,15 +40,23 @@ def lnl_convolutive_noise(
     each power x^i goes through its own random notch chain; from the second
     component on, the gain range is lowered by the lin/non-lin bias."""
     min_g, max_g = float(cfg.minG), float(cfg.maxG)
-    y = np.zeros_like(x, dtype=np.float64)
+    chains = []
     for i in range(cfg.N_f):
         if i == 1:
             min_g -= cfg.minBiasLinNonLin
             max_g -= cfg.maxBiasLinNonLin
-        b = design_notch_chain(
+        chains.append(design_notch_chain(
             rng, cfg.nBands, cfg.minF, cfg.maxF, cfg.minBW, cfg.maxBW,
             cfg.minCoeff, cfg.maxCoeff, min_g, max_g, fs,
-        )
+        ))
+
+    from scl_deepfake_audio_detection_tpu import native
+
+    if native.available():  # fused power/FIR chain loop, no temporaries
+        return native.lnl_apply(x.astype(np.float32), chains)
+
+    y = np.zeros_like(x, dtype=np.float64)
+    for i, b in enumerate(chains):
         y = y + filter_fir_centered(np.power(x, i + 1), b)
     y = y - np.mean(y)
     return norm_wav(y, always=False).astype(np.float32)

@@ -75,12 +75,25 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 
 def load_audio(path: str, sr: int = 16000) -> np.ndarray:
-    """Mono float32 at ``sr`` (librosa.load-compatible behavior)."""
+    """Mono float32 at ``sr`` (librosa.load-compatible behavior).
+
+    Decode order: native C reader (PCM16/float32 WAV, ``native.py``) ->
+    soundfile (when installed; handles flac/ogg) -> stdlib wave fallback.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        from scl_deepfake_audio_detection_tpu import native
+
+        if native.available():
+            try:
+                data, file_sr = native.read_wav(path)
+                return resample(data, file_sr, sr)
+            except ValueError:
+                pass  # exotic subtype: fall through to the python readers
     if _sf is not None:
         data, file_sr = _sf.read(path, dtype="float32", always_2d=True)
         data = data.mean(axis=1)
     else:
-        ext = os.path.splitext(path)[1].lower()
         if ext != ".wav":
             raise RuntimeError(
                 f"cannot decode {ext!r} without the optional soundfile backend: {path}"
