@@ -25,7 +25,7 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16", attention_impl="flash")
-        batch, samples, iters, warmup = 24, 64600, 10, 3
+        batch, samples, iters, warmup = 24, 64600, 20, 3
     else:  # CPU smoke fallback so the bench never hard-fails
         ssl = XLSRConfig.tiny()
         batch, samples, iters, warmup = 4, 6460, 3, 1
@@ -43,9 +43,14 @@ def main() -> int:
 
     for _ in range(warmup):
         jax.block_until_ready(score(params, wav))
+    # Every iteration consumes the previous output (a negligible additive
+    # perturbation of the input), so the device cannot elide, cache, or
+    # reorder repeated identical executions — each step is a real forward.
+    feed = jax.numpy.zeros((), wav.dtype)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = score(params, wav)
+        out = score(params, wav + feed)
+        feed = out[0, 0].astype(wav.dtype) * 1e-30
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
