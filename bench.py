@@ -34,25 +34,27 @@ def main() -> int:
     params = model.init(jax.random.key(0))
 
     @jax.jit
-    def score(params, wav):
-        return model.apply(params, wav, train=False).log_probs
+    def score(params, wav, feed):
+        # ``feed`` chains iterations: each call consumes the previous call's
+        # output so repeated identical executions can't be elided or cached
+        # anywhere between host and chip; the perturbation is numerically nil.
+        out = model.apply(params, wav + feed, train=False).log_probs
+        return out, out[0, 0].astype(wav.dtype) * 1e-30
 
     wav = jax.numpy.asarray(
         np.random.default_rng(0).normal(size=(batch, samples)).astype(np.float32) * 0.1
     )
 
-    for _ in range(warmup):
-        jax.block_until_ready(score(params, wav))
-    # Every iteration consumes the previous output (a negligible additive
-    # perturbation of the input), so the device cannot elide, cache, or
-    # reorder repeated identical executions — each step is a real forward.
     feed = jax.numpy.zeros((), wav.dtype)
+    for _ in range(warmup):
+        out, feed = score(params, wav, feed)
+    float(out.sum())  # host readback: unambiguous sync even via device tunnels
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = score(params, wav + feed)
-        feed = out[0, 0].astype(wav.dtype) * 1e-30
-    jax.block_until_ready(out)
+        out, feed = score(params, wav, feed)
+    checksum = float(out.sum())  # timed region ends when data reaches host
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     utt_per_sec = batch * iters / dt
     result = {

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xlsr_300m", "tiny"])
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--out_dir", type=str, default="out")
+    p.add_argument("--tensorboard_dir", type=str, default=None,
+                   help="tensorboard scalar logs (default: <out>/<tag>/logs)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the first epoch")
     # analysis mode (replaces Result.ipynb)
     p.add_argument("--analyze", type=str, default=None, help="score file to analyze")
     p.add_argument("--protocol", type=str, default=None, help="protocol for --analyze")
@@ -281,6 +285,8 @@ def main(argv=None) -> int:
         rng_key=rng_key,
         save_dir=save_dir,
         log_fn=log_fn,
+        tensorboard_dir=args.tensorboard_dir or os.path.join(save_dir, "logs"),
+        profile_dir=args.profile_dir,
     )
     print(f"Total training time: {time.time() - t0}s")
     return 0

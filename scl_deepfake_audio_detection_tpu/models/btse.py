@@ -69,6 +69,12 @@ class XLSRBtse:
     n_heads: int = 4
     n_layers: int = 3
     window_size: int = 4
+    # bio encoder family (reference model.py keeps four variants and wires
+    # bioEncoderTransformersmall, :288): 'transformer' | 'gru' | 'conv' | 'light'
+    bio_encoder_type: str = "transformer"
+    bio_rnn: int = 64  # GRU hidden (bioEncoderRNNsmall, model.py:127)
+    bio_hid: int = 256  # conv-seq2seq hidden (bioEncoderConv via cnns2s)
+    max_bio_len: int = 300  # conv pos-embedding table (cnns2s.py:14)
     is_add: bool = False
     head_dropout: float = 0.25
     flag_fix_ssl: bool = False
@@ -88,6 +94,9 @@ class XLSRBtse:
             n_heads=int(ex.get("n_heads", 4)),
             n_layers=int(ex.get("n_layers", 3)),
             num_classes=int(ex.get("nb_classes", 2)),
+            bio_encoder_type=str(ex.get("bio_encoder_type", "transformer")),
+            bio_rnn=int(ex.get("bio_rnn", 64)),
+            bio_hid=int(ex.get("bio_hid", 256)),
             is_add=bool(ex.get("is_add", False)),
             flag_fix_ssl=bool(model_cfg.flag_fix_ssl),
             contra_mode=model_cfg.contra_mode,
@@ -112,12 +121,40 @@ class XLSRBtse:
             "bio_emb": init_embedding(
                 next(ks), self.n_bios, self.bio_dim, std=self.bio_dim**-0.5
             ),
-            "bio_encoder": init_relpos_encoder(
+        }
+        kind = self.bio_encoder_type
+        if kind == "transformer":
+            p["bio_encoder"] = init_relpos_encoder(
                 next(ks), self.bio_dim, self.pf_dim, self.n_heads, self.n_layers,
                 self.window_size,
-            ),
-            "bio_scoring": init_linear(next(ks), self.bio_dim, self.bio_out),
-        }
+            )
+            p["bio_scoring"] = init_linear(next(ks), self.bio_dim, self.bio_out)
+        elif kind == "gru":
+            from scl_deepfake_audio_detection_tpu.ops.rnn import init_gru
+
+            p["bio_encoder"] = init_gru(next(ks), self.bio_dim, self.bio_rnn)
+            p["bio_scoring"] = init_linear(next(ks), self.bio_rnn, self.bio_out)
+        elif kind == "conv":
+            sub = jax.random.split(next(ks), 3 + self.n_layers)
+            p["bio_encoder"] = {
+                "pos_emb": init_embedding(sub[0], self.max_bio_len, self.bio_dim),
+                "emb2hid": init_linear(sub[1], self.bio_dim, self.bio_hid),
+                "hid2emb": init_linear(sub[2], self.bio_hid, self.bio_dim),
+                "convs": [
+                    init_linear(sub[3 + i], self.bio_hid, 2 * self.bio_hid)
+                    for i in range(self.n_layers)  # kernel_size=1 (cnns2s default)
+                ],
+            }
+            p["bio_scoring"] = init_linear(next(ks), self.bio_dim, self.bio_out)
+        elif kind == "light":
+            sub = jax.random.split(next(ks), 3)
+            p["bio_encoder"] = {
+                "conv1": init_linear(sub[0], self.bio_dim, 256),
+                "conv2": init_linear(sub[1], 256, 512),
+            }
+            p["bio_scoring"] = init_linear(next(ks), 512, self.bio_out)
+        else:
+            raise ValueError(f"unknown bio_encoder_type: {kind!r}")
         if self.is_add:
             p["fc1"] = init_linear(next(ks), self.feat_dim, self.bio_out)
             p["fc2"] = init_linear(next(ks), self.bio_out, self.num_classes)
@@ -136,19 +173,57 @@ class XLSRBtse:
         rng: Optional[jax.Array] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        """bio int tokens [N, T_bio] -> conditioning vector [N, bio_out]
-        (reference bioEncoderTransformersmall.forward :297-309: scaled
-        embedding -> rel-pos encoder -> 1x1 conv -> last timestep)."""
-        x = embedding(params["bio_emb"], bio) * (self.bio_dim**0.5)
-        x = relpos_encoder(
-            params["bio_encoder"], x, bio_mask,
-            num_heads=self.n_heads, window=self.window_size,
-            rng=rng, train=train,
-        )
-        scores = linear(params["bio_scoring"], x)  # [N, T_bio, bio_out]
-        if bio_mask is not None:
-            scores = scores * bio_mask.astype(scores.dtype)[..., None]
-        return scores[:, -1, :]
+        """bio int tokens [N, T_bio] -> conditioning vector [N, bio_out].
+
+        Encoder family per ``bio_encoder_type`` (the reference keeps four
+        variants, wiring the transformer — model.py:280-309):
+        - transformer: scaled embedding -> windowed rel-pos encoder -> 1x1
+          conv -> last timestep;
+        - gru: embedding -> GRU -> final hidden -> linear (bioEncoderRNNsmall);
+        - conv: conv-seq2seq with positional embedding, GLU blocks, sqrt(.5)
+          residual scaling -> last timestep (bioEncoderConv via cnns2s);
+        - light: embedding -> two 1x1 convs -> 1x1 scoring -> last timestep.
+        """
+        kind = self.bio_encoder_type
+        if kind == "transformer":
+            x = embedding(params["bio_emb"], bio) * (self.bio_dim**0.5)
+            x = relpos_encoder(
+                params["bio_encoder"], x, bio_mask,
+                num_heads=self.n_heads, window=self.window_size,
+                rng=rng, train=train,
+            )
+            scores = linear(params["bio_scoring"], x)  # [N, T_bio, bio_out]
+            if bio_mask is not None:
+                scores = scores * bio_mask.astype(scores.dtype)[..., None]
+            return scores[:, -1, :]
+        if kind == "gru":
+            from scl_deepfake_audio_detection_tpu.ops.rnn import gru
+
+            x = embedding(params["bio_emb"], bio)
+            lengths = (
+                jnp.sum(bio_mask, axis=-1).astype(jnp.int32)
+                if bio_mask is not None else None
+            )
+            _, h_last = gru(params["bio_encoder"], x, lengths=lengths)
+            return linear(params["bio_scoring"], h_last)
+        if kind == "conv":
+            enc = params["bio_encoder"]
+            pos = jnp.arange(bio.shape[1])
+            x = embedding(params["bio_emb"], bio) + embedding(enc["pos_emb"], pos)
+            h = linear(enc["emb2hid"], x)
+            scale = 0.5**0.5
+            for cp in enc["convs"]:
+                y = linear(cp, h)  # kernel-1 conv == pointwise linear
+                a, g = jnp.split(y, 2, axis=-1)
+                h = (a * jax.nn.sigmoid(g) + h) * scale
+            x = (linear(enc["hid2emb"], h) + x) * scale
+            return linear(params["bio_scoring"], x[:, -1, :])
+        if kind == "light":
+            enc = params["bio_encoder"]
+            x = embedding(params["bio_emb"], bio)
+            x = linear(enc["conv2"], linear(enc["conv1"], x))
+            return linear(params["bio_scoring"], x)[:, -1, :]
+        raise ValueError(f"unknown bio_encoder_type: {kind!r}")
 
     # --------------------------------------------------------------- forward
     def apply(

@@ -174,24 +174,35 @@ class Engine:
         rng_key,
         save_dir: Optional[str] = None,
         log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+        tensorboard_dir: Optional[str] = None,
+        profile_dir: Optional[str] = None,
     ):
         """Full training run with per-epoch cyclic LR, early stop on dev
-        accuracy, best-checkpoint saving and JSONL metrics
-        (reference flow: ``main.py:397-423``)."""
+        accuracy, best-checkpoint saving, JSONL metrics, optional tensorboard
+        scalars and a first-epoch device profile
+        (reference flow: ``main.py:397-423`` + tensorboardX scalars :407-414).
+        """
+        from scl_deepfake_audio_detection_tpu.train.tblog import (
+            ScalarWriter,
+            trace_epoch,
+        )
+
         cfg = self.cfg
         stopper = EarlyStop()
         metrics_path = os.path.join(save_dir, "metrics.jsonl") if save_dir else None
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
+        tb = ScalarWriter(tensorboard_dir)
 
         for epoch in range(cfg.start_epoch, cfg.start_epoch + cfg.num_epochs):
             lr = cyclic_exp_lr(epoch, cfg.min_lr, cfg.max_lr)
             opt_state = set_learning_rate(opt_state, lr)
             t0 = time.time()
             epoch_rng = jax.random.fold_in(rng_key, epoch)
-            params, buffers, opt_state, train_m = self.run_epoch(
-                params, buffers, opt_state, train_batches(), epoch_rng
-            )
+            with trace_epoch(profile_dir if epoch == cfg.start_epoch else None):
+                params, buffers, opt_state, train_m = self.run_epoch(
+                    params, buffers, opt_state, train_batches(), epoch_rng
+                )
             val_m = self.run_validation(params, buffers, dev_batches())
             record = {
                 "epoch": epoch,
@@ -203,6 +214,7 @@ class Engine:
             if metrics_path:
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(record) + "\n")
+            tb.scalars(record, epoch)
             if log_fn:
                 log_fn(epoch, record)
 
@@ -219,4 +231,5 @@ class Engine:
                 )
             if stopper.early_stop:
                 break
+        tb.close()
         return params, buffers, opt_state

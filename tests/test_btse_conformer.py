@@ -210,3 +210,49 @@ def test_conformer_rel_pos_translation_bias(rng):
     q = jnp.asarray(rng.normal(size=(1, 2, 6, 4)).astype(np.float32))
     bias = np.asarray(_rel_pos_bias(params["blocks"][0]["attn"], q, cfg))
     assert bias.shape == (1, 2, 6, 6)
+
+
+# ------------------------------------------------- GRU + bio encoder variants
+
+
+def test_gru_matches_torch(rng):
+    import torch
+
+    from scl_deepfake_audio_detection_tpu.ops.rnn import gru, init_gru
+
+    p = init_gru(jax.random.key(0), in_dim=5, hidden=7)
+    x = rng.normal(size=(2, 9, 5)).astype(np.float32)
+
+    tg = torch.nn.GRU(5, 7, 1, batch_first=True)
+    with torch.no_grad():
+        tg.weight_ih_l0.copy_(torch.tensor(np.asarray(p["w_ih"]).T))
+        tg.weight_hh_l0.copy_(torch.tensor(np.asarray(p["w_hh"]).T))
+        tg.bias_ih_l0.copy_(torch.tensor(np.asarray(p["b_ih"])))
+        tg.bias_hh_l0.copy_(torch.tensor(np.asarray(p["b_hh"])))
+        want_out, want_h = tg(torch.tensor(x))
+
+    out, h_last = gru(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), want_out.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), want_h[0].numpy(), atol=1e-5)
+
+
+def test_gru_lengths_freeze_hidden(rng):
+    from scl_deepfake_audio_detection_tpu.ops.rnn import gru, init_gru
+
+    p = init_gru(jax.random.key(0), in_dim=4, hidden=6)
+    x = rng.normal(size=(1, 8, 4)).astype(np.float32)
+    _, h_full5 = gru(p, jnp.asarray(x[:, :5]))
+    _, h_masked = gru(p, jnp.asarray(x), lengths=jnp.asarray([5]))
+    np.testing.assert_allclose(np.asarray(h_masked), np.asarray(h_full5), atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["gru", "conv", "light"])
+def test_btse_bio_encoder_variants(kind):
+    model = XLSRBtse(ssl=TINY, bio_encoder_type=kind)
+    params = model.init(jax.random.key(0))
+    wav = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 3200)).astype(np.float32)
+    )
+    out = model.apply(params, wav, train=False)
+    assert out.log_probs.shape == (2, 2)
+    assert np.isfinite(np.asarray(out.log_probs)).all()
