@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score_format", type=str, default="auto",
                    choices=["auto", "eval", "pred"])
     p.add_argument("--subset", type=str, default=None)
+    p.add_argument("--per_attack", action="store_true", default=False,
+                   help="add per-attack EER breakdown to --analyze")
     return p
 
 
@@ -135,7 +137,7 @@ def main(argv=None) -> int:
             print("--analyze requires --protocol", file=sys.stderr)
             return 2
         rep = score_report(args.analyze, args.protocol, fmt=args.score_format,
-                           subset=args.subset)
+                           subset=args.subset, per_attack=args.per_attack)
         print(rep)
         return 0
 

@@ -54,14 +54,20 @@ class EvalReport:
     n_bonafide: int
     n_spoof: int
     confusion: Tuple[int, int, int, int]  # tp, tn, fp, fn at the EER threshold
+    per_attack: Optional[Dict[str, Tuple[float, int]]] = None  # attack -> (eer, n)
 
     def __str__(self) -> str:
         tp, tn, fp, fn = self.confusion
-        return (
+        s = (
             f"EER: {self.eer * 100:.4f}%, threshold: {self.threshold:.4f} "
             f"({self.n_bonafide} bonafide / {self.n_spoof} spoof; "
             f"tp={tp} tn={tn} fp={fp} fn={fn})"
         )
+        if self.per_attack:
+            s += "\nper-attack EER (vs all bonafide):"
+            for atk, (eer, n) in sorted(self.per_attack.items()):
+                s += f"\n  {atk:>8s}: {eer * 100:7.4f}%  (n={n})"
+        return s
 
 
 def score_report(
@@ -69,12 +75,17 @@ def score_report(
     protocol_path: str,
     fmt: str = "auto",
     subset: Optional[str] = None,
+    per_attack: bool = False,
 ) -> EvalReport:
     """Join a score file with a protocol and compute EER.
 
     Keys are matched the way ``Result.ipynb`` does: on the extension-less
     basename of the utterance (so ``LA_E_1000147.flac`` joins ``LA_E_1000147``
     and ``wav/1.wav`` joins an in-the-wild protocol's ``wav/1.wav``).
+
+    ``per_attack`` adds the ASVspoof-style breakdown: each attack's spoof
+    scores pooled against all bonafide scores (the notebook's per-system
+    analysis over the protocol's attack column).
     """
     scores = load_scores(score_path, fmt=fmt)
     trials = parse_protocol(protocol_path)
@@ -86,19 +97,34 @@ def score_report(
 
     by_key = {norm(u): s for u, s in scores.items()}
     tar, non = [], []
+    non_by_attack: Dict[str, List[float]] = {}
     for t in trials:
         if t.label is None:
             continue
         s = by_key.get(norm(t.utt))
         if s is None:
             continue
-        (tar if t.label == 1 else non).append(s)
+        if t.label == 1:
+            tar.append(s)
+        else:
+            non.append(s)
+            if per_attack:
+                non_by_attack.setdefault(t.attack or "unknown", []).append(s)
     tar_a, non_a = np.asarray(tar), np.asarray(non)
     eer, thr = compute_eer(tar_a, non_a)
+
+    attack_report = None
+    if per_attack and non_by_attack:
+        attack_report = {}
+        for atk, ss in sorted(non_by_attack.items()):
+            a_eer, _ = compute_eer(tar_a, np.asarray(ss))
+            attack_report[atk] = (float(a_eer), len(ss))
+
     return EvalReport(
         eer=eer,
         threshold=thr,
         n_bonafide=len(tar),
         n_spoof=len(non),
         confusion=confusion_counts(tar_a, non_a, thr),
+        per_attack=attack_report,
     )

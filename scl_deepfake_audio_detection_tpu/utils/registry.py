@@ -36,6 +36,8 @@ class Registry:
         return deco
 
     def get(self, name: str) -> Any:
+        if name not in self._items:
+            _populate(self.kind)  # lazy: importing the package registers items
         try:
             return self._items[name]
         except KeyError:
@@ -53,6 +55,25 @@ class Registry:
 MODELS = Registry("model")
 DATASETS = Registry("dataset")
 AUGMENTATIONS = Registry("augmentation")
+
+_POPULATORS = {
+    "model": "scl_deepfake_audio_detection_tpu.models",
+    "dataset": "scl_deepfake_audio_detection_tpu.data.datasets",
+    "augmentation": "scl_deepfake_audio_detection_tpu.data.augment_registry",
+}
+
+
+def _populate(kind: str) -> None:
+    """Import the package whose import side-effect registers ``kind`` items,
+    so registry lookups work regardless of import order."""
+    import importlib
+
+    mod = _POPULATORS.get(kind)
+    if mod:
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            pass
 
 
 def resolve_augmentation(name: str) -> Callable:

@@ -1,0 +1,77 @@
+"""Online stats, significance tests, per-attack EER breakdown, config pack."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from scl_deepfake_audio_detection_tpu.utils.stats import (
+    OnlineStats,
+    bonferroni,
+    holm,
+    paired_t_pvalue,
+)
+
+from tests.conftest import requires_reference
+
+
+def test_online_stats_matches_numpy(rng):
+    data = rng.normal(size=(1000, 5)) * 3 + 1
+    st = OnlineStats(5, track_cov=True)
+    for chunk in np.array_split(data, 7):  # uneven batch sizes
+        st.update(chunk)
+    np.testing.assert_allclose(st.mean, data.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(st.var, data.var(axis=0, ddof=1), atol=1e-8)
+    np.testing.assert_allclose(st.cov, np.cov(data.T), atol=1e-8)
+    # state round trip
+    st2 = OnlineStats.from_state_dict(st.state_dict())
+    np.testing.assert_allclose(st2.std, st.std)
+
+
+def test_paired_t_matches_scipy(rng):
+    scipy_stats = pytest.importorskip("scipy.stats")
+    a = rng.normal(size=50)
+    b = a + 0.3 + 0.1 * rng.normal(size=50)
+    want = scipy_stats.ttest_rel(a, b).pvalue
+    got = paired_t_pvalue(a, b)
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_bonferroni_and_holm():
+    ps = [0.001, 0.01, 0.03, 0.2]
+    assert bonferroni(ps, alpha=0.05) == [True, True, False, False]
+    # Holm is uniformly at least as powerful
+    h = holm(ps, alpha=0.05)
+    b = bonferroni(ps, alpha=0.05)
+    assert all(hb or not bb for hb, bb in zip(h, b))
+    assert h == [True, True, False, False]
+
+
+@requires_reference
+def test_per_attack_breakdown_on_reference_scores():
+    from scl_deepfake_audio_detection_tpu.train.analysis import score_report
+
+    rep = score_report(
+        "/root/reference/docs/asvspoof2019_conf-3.txt",
+        "/root/reference/DATA/asvspoof_2019_supcon/protocol.txt",
+        per_attack=True,
+    )
+    assert rep.eer * 100 == pytest.approx(2.8837, abs=1e-3)
+    assert rep.per_attack is not None and len(rep.per_attack) >= 10
+    # LA19 eval attacks are A07..A19; every per-attack EER is a valid rate
+    for atk, (eer, n) in rep.per_attack.items():
+        assert 0.0 <= eer <= 1.0 and n > 0
+    assert "A17" in rep.per_attack  # the canonical hardest LA19 attack
+    assert "per-attack" in str(rep)
+
+
+def test_all_shipped_configs_resolve():
+    from scl_deepfake_audio_detection_tpu.utils.config import load_config
+    from scl_deepfake_audio_detection_tpu.utils.registry import DATASETS, MODELS
+
+    paths = sorted(glob.glob("configs/*.yaml"))
+    assert len(paths) >= 7
+    for p in paths:
+        cfg = load_config(p)
+        assert MODELS.get(cfg.model.name)
+        assert DATASETS.get(cfg.data.name)
