@@ -104,26 +104,55 @@ class EvalLoader:
         batch_size: int = 32,
         num_workers: int = 4,
         pad_final: bool = True,
+        prefetch: int = 2,
     ):
         self.ds = dataset
         self.bs = batch_size
         self.num_workers = max(1, num_workers)
         self.pad_final = pad_final
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         return -(-len(self.ds) // self.bs)
 
     def __iter__(self):
+        """Batches are built in a producer thread ``prefetch`` steps ahead, so
+        host decode/pad overlaps the device's scoring of the previous batch."""
         from concurrent.futures import ThreadPoolExecutor
 
         idxs = list(range(len(self.ds)))
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for i in range(0, len(idxs), self.bs):
-                chunk = idxs[i : i + self.bs]
-                items = list(pool.map(self.ds.get, chunk))
-                wav = np.stack([w for w, _ in items])
-                utts = [u for _, u in items]
-                if self.pad_final and len(chunk) < self.bs:
-                    pad = np.zeros((self.bs - len(chunk), wav.shape[1]), wav.dtype)
-                    wav = np.concatenate([wav, pad])
-                yield wav, utts
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for i in range(0, len(idxs), self.bs):
+                        if stop.is_set():
+                            return
+                        chunk = idxs[i : i + self.bs]
+                        items = list(pool.map(self.ds.get, chunk))
+                        wav = np.stack([w for w, _ in items])
+                        utts = [u for _, u in items]
+                        if self.pad_final and len(chunk) < self.bs:
+                            pad = np.zeros(
+                                (self.bs - len(chunk), wav.shape[1]), wav.dtype
+                            )
+                            wav = np.concatenate([wav, pad])
+                        out_q.put((wav, utts))
+                out_q.put(None)
+            except BaseException as e:
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

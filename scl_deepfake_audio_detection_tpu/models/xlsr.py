@@ -255,7 +255,7 @@ def transformer_encoder(
     deterministic: bool = True,
 ) -> jnp.ndarray:
     """Pre-norm stack over stacked layer params via ``lax.scan``."""
-    x = x + _pos_conv_embed(params, cfg, x)
+    x = x + _pos_conv_embed(params, cfg, x).astype(x.dtype)
     if rng is not None:
         # fold_in domain is uint32; use sentinels far above any layer index
         x = dropout(jax.random.fold_in(rng, 1_000_001), x, cfg.dropout, deterministic)
@@ -298,9 +298,13 @@ def extract_features(
     """
     if wav.ndim == 3:  # accept [B, T, 1] like the reference's ndim fixup
         wav = wav[:, :, 0]
+    cdtype = jnp.dtype(cfg.compute_dtype)
     x = feature_encoder(params, cfg, wav)
     x = layer_norm(params["post_extract_ln"], x, cfg.layer_norm_eps)
-    x = linear(params["proj"], x, jnp.dtype(cfg.compute_dtype))
+    # keep the residual stream in the compute dtype: linears accumulate in
+    # fp32 on the MXU, but carrying fp32 activations between layers doubles
+    # HBM traffic for no accuracy benefit (layernorm re-normalizes in fp32)
+    x = linear(params["proj"], x, cdtype).astype(cdtype)
     if rng is not None:
         x = dropout(jax.random.fold_in(rng, 1_000_002), x, cfg.dropout, deterministic)
     return transformer_encoder(params, cfg, x, rng=rng, deterministic=deterministic)
