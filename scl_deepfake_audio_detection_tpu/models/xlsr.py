@@ -71,6 +71,10 @@ class XLSRConfig:
     # runtime policy
     compute_dtype: str = "float32"  # 'bfloat16' on TPU for throughput
     attention_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
+    conv_impl: str = "conv"  # 'conv': lax.conv lowering | 'gemm': explicit
+    # patch+matmul. Measured on v5e (24x64600, bf16): conv 12.7ms vs gemm
+    # 22.6ms — XLA's conv lowering wins; 'gemm' kept for other topologies.
+    scan_unroll: int = 1  # lax.scan unroll factor over encoder layers
     remat: bool = False  # checkpoint each encoder layer in the bwd pass
 
     @property
@@ -171,6 +175,44 @@ def init_xlsr(key, cfg: XLSRConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _strided_conv_gemm(p: Params, x: jnp.ndarray, kernel: int, stride: int,
+                       cdtype) -> jnp.ndarray:
+    """VALID strided conv1d as patch extraction + one GEMM.
+
+    [B, T, Cin] -> patches [B, T_out, K*Cin] -> @ W [K*Cin, Cout].  The
+    feature encoder's convs have tiny kernels and large channel products, so
+    an explicit [B*T_out, K*Cin] x [K*Cin, Cout] matmul maps straight onto
+    the MXU instead of relying on the conv lowering.
+    """
+    b, t, cin = x.shape
+    t_out = (t - kernel) // stride + 1
+    x = x.astype(cdtype)
+    if stride == kernel:  # non-overlapping: a pure reshape
+        patches = x[:, : t_out * stride].reshape(b, t_out, kernel * cin)
+    else:
+        # decompose into ceil(k/s) shifted non-overlapping views: patch rows
+        # are contiguous strided reads, no gather. Rows only ever read up to
+        # index t-1; zero-pad the tail so every shifted view reshapes cleanly.
+        offs = list(range(0, kernel, stride))
+        need = offs[-1] + t_out * stride
+        if need > t:
+            x = jnp.pad(x, ((0, 0), (0, need - t), (0, 0)))
+        chunks = []
+        for off in offs:
+            width = min(stride, kernel - off)
+            seg = x[:, off : off + t_out * stride]
+            seg = seg.reshape(b, t_out, stride, cin)[:, :, :width]
+            chunks.append(seg.reshape(b, t_out, width * cin))
+        patches = jnp.concatenate(chunks, axis=-1)
+    w = p["w"].reshape(kernel * cin, -1).astype(cdtype)  # [K,Cin,Cout] -> [K*Cin,Cout]
+    y = jnp.einsum("btk,ko->bto", patches, w,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
 def feature_encoder(params: Params, cfg: XLSRConfig, wav: jnp.ndarray) -> jnp.ndarray:
     """[B, T_samples] -> [B, T_frames, C]. Conv -> fp32 LN -> exact GELU per
     block (fairseq 'layer_norm' extractor mode)."""
@@ -179,7 +221,11 @@ def feature_encoder(params: Params, cfg: XLSRConfig, wav: jnp.ndarray) -> jnp.nd
     for block, (dim, kernel, stride) in zip(
         params["feature_extractor"]["convs"], cfg.conv_layers
     ):
-        x = conv1d(block["conv"], x, stride=stride, padding="VALID", compute_dtype=cdtype)
+        if cfg.conv_impl == "gemm":
+            x = _strided_conv_gemm(block["conv"], x, kernel, stride, cdtype)
+        else:
+            x = conv1d(block["conv"], x, stride=stride, padding="VALID",
+                       compute_dtype=cdtype)
         x = layer_norm(block["ln"], x, cfg.layer_norm_eps).astype(cdtype)
         x = gelu(x)
     return x
@@ -279,7 +325,7 @@ def transformer_encoder(
     scanned = {"layer": stacked}
     if rngs is not None:
         scanned["rng"] = rngs
-    x, _ = jax.lax.scan(body, x, scanned)
+    x, _ = jax.lax.scan(body, x, scanned, unroll=cfg.scan_unroll)
     return layer_norm(params["encoder"]["final_ln"], x, cfg.layer_norm_eps)
 
 

@@ -139,8 +139,14 @@ class Engine:
         self, params, buffers, opt_state, batches: Iterable[Dict[str, Any]], rng_key
     ) -> Tuple[Any, Any, Any, Dict[str, float]]:
         """One training epoch. ``batches`` yields {'wav': [G,V,T], 'labels':
-        [G,V]} numpy arrays."""
-        agg: Dict[str, float] = {}
+        [G,V]} numpy arrays.
+
+        Metric scalars accumulate as device arrays and transfer to host once
+        per epoch — per-step ``float()`` would serialize the async dispatch
+        queue on every batch (the reference's per-batch ``.item()`` calls,
+        ``main.py:71-76``, are exactly that stall on GPU).
+        """
+        agg: Dict[str, Any] = {}
         n = 0
         for i, batch in enumerate(batches):
             step_rng = jax.random.fold_in(rng_key, i)
@@ -148,21 +154,30 @@ class Engine:
                 params, buffers, opt_state, self.place_batch(batch), step_rng
             )
             for k, val in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(val)
+                agg[k] = val if k not in agg else agg[k] + val
             n += 1
-        return params, buffers, opt_state, {k: val / max(n, 1) for k, val in agg.items()}
+            if getattr(self.cfg, "check_numerics", False):
+                bad = {k: float(v) for k, v in metrics.items()
+                       if not np.isfinite(float(v))}
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite metrics at step {i}: {bad} "
+                        f"(utts={batch.get('utts') if isinstance(batch, dict) else None})"
+                    )
+        host = {k: float(v) / max(n, 1) for k, v in agg.items()}
+        return params, buffers, opt_state, host
 
     def run_validation(
         self, params, buffers, batches: Iterable[Dict[str, Any]]
     ) -> Dict[str, float]:
-        agg: Dict[str, float] = {}
+        agg: Dict[str, Any] = {}
         n = 0
         for batch in batches:
             metrics = self.eval_step(params, buffers, self.place_batch(batch))
             for k, val in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(val)
+                agg[k] = val if k not in agg else agg[k] + val
             n += 1
-        return {k: val / max(n, 1) for k, val in agg.items()}
+        return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
     def fit(
         self,

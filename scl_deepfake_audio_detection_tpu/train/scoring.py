@@ -65,6 +65,49 @@ def produce_prediction_file(
                 progress(done)
 
 
+def score_long_audio(
+    wav: np.ndarray,
+    score_fn: Callable[[np.ndarray], np.ndarray],
+    window: int = 64600,
+    hop: Optional[int] = None,
+    batch: int = 8,
+) -> np.ndarray:
+    """Chunked scoring of arbitrarily long audio with score averaging.
+
+    The reference truncates everything to 64600 samples (``pad``,
+    ``datautils/asvspoof_2019_augall_3.py:49-60``), discarding evidence in
+    long In-the-Wild clips.  This scores overlapping ``window``-sample crops
+    (hop = window/2 by default) through the same fixed-shape jit program —
+    chunks are batched, short tails tile-padded — and returns the mean
+    log-prob pair [2] (SURVEY §5's long-audio stretch capability).
+    """
+    hop = hop or window // 2
+    n = wav.shape[0]
+    if n <= window:
+        starts = [0]
+    else:
+        starts = list(range(0, n - window + 1, hop))
+        if starts[-1] + window < n:
+            starts.append(n - window)
+    chunks = []
+    for s in starts:
+        c = wav[s : s + window]
+        if c.shape[0] < window:  # tile-pad the tail crop
+            reps = window // max(c.shape[0], 1) + 1
+            c = np.tile(c, reps)[:window]
+        chunks.append(c)
+    chunks_a = np.stack(chunks).astype(np.float32)
+    outs = []
+    for i in range(0, len(chunks_a), batch):
+        block = chunks_a[i : i + batch]
+        if block.shape[0] < batch:  # keep one compiled shape
+            pad = np.zeros((batch - block.shape[0], window), np.float32)
+            block = np.concatenate([block, pad])
+        lp = np.asarray(score_fn(block))
+        outs.append(lp[: min(batch, len(chunks_a) - i)])
+    return np.concatenate(outs).mean(axis=0)
+
+
 def produce_emb_file(
     batches: Iterable[Tuple[np.ndarray, list]],
     emb_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],

@@ -126,6 +126,8 @@ class TrainConfig:
     grad_clip_norm: Optional[float] = None  # global-norm clip (NII arg_parse
     # --grad-clip-norm capability; reference active path never clips)
     grad_accum_steps: int = 1  # optax.MultiSteps microbatching
+    check_numerics: bool = False  # per-step host NaN guard (syncs every step;
+    # off by default — epoch-end aggregation catches NaNs once per epoch free)
 
     def model_tag(self) -> str:
         # Output dir naming scheme: model_{loss}_{epochs}_{bs}_{minlr}[_{comment}]

@@ -1,0 +1,155 @@
+"""End-to-end numerics parity: HuggingFace Wav2Vec2Model (torch CPU) vs our
+JAX XLSR on converted weights.
+
+This is the strongest fidelity check available without the 1.2GB pretrained
+checkpoint (zero-egress image): a randomly initialized *stable-layer-norm*
+Wav2Vec2 — the exact architecture family of xls-r-300m
+(``do_stable_layer_norm=True, feat_extract_norm='layer'``, reference
+``model/xlsr.py:14-21`` loads the fairseq twin) — is converted through
+``models/convert.from_hf_state_dict`` and must produce the same frame
+features as the torch forward.  Exercises every conversion rule: conv
+transposes, weight-norm contraction of the positional conv, q/k/v/o, LN
+placement, GELU variant, SamePad trim.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from scl_deepfake_audio_detection_tpu.models import convert
+from scl_deepfake_audio_detection_tpu.models import xlsr as X
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    hf_cfg = Wav2Vec2Config(
+        vocab_size=32,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2),
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        feat_extract_activation="gelu",
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    model = Wav2Vec2Model(hf_cfg).eval()
+    cfg = convert.config_from_hf(hf_cfg)
+    params = convert.from_hf_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def test_config_mapping(hf_pair):
+    _, cfg, _ = hf_pair
+    assert cfg.conv_layers == ((16, 10, 5), (16, 3, 2), (16, 2, 2))
+    assert cfg.encoder_dim == 32 and cfg.encoder_layers == 2
+    assert cfg.num_heads == 4 and cfg.ffn_dim == 64
+
+
+def test_feature_encoder_matches_hf(hf_pair):
+    model, cfg, params = hf_pair
+    wav = np.random.default_rng(0).normal(size=(2, 3200)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = model.feature_extractor(torch.tensor(wav)).transpose(1, 2).numpy()
+    got = np.asarray(X.feature_encoder(params, cfg, jnp.asarray(wav)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_full_forward_matches_hf(hf_pair):
+    """Frame features after the full transformer must match torch closely
+    (fp32 everywhere; the tolerance absorbs fp accumulation-order drift)."""
+    model, cfg, params = hf_pair
+    wav = np.random.default_rng(1).normal(size=(2, 3200)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = model(torch.tensor(wav)).last_hidden_state.numpy()
+    got = np.asarray(X.extract_features(params, cfg, jnp.asarray(wav)))
+    assert got.shape == want.shape
+    # cosine similarity per frame: the SURVEY's fidelity criterion (§7)
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.9999, cos.min()
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_fairseq_layout_roundtrip(hf_pair):
+    """Build a synthetic fairseq-style state dict from known arrays and check
+    the fairseq mapping produces the same pytree as direct construction —
+    covers the fairseq key scheme without a fairseq install."""
+    _, cfg, params = hf_pair
+    rng = np.random.default_rng(3)
+    sd = {}
+    for i, (dim, k, s) in enumerate(cfg.conv_layers):
+        cin = 1 if i == 0 else cfg.conv_layers[i - 1][0]
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = rng.normal(
+            size=(dim, cin, k)
+        ).astype(np.float32)
+        sd[f"feature_extractor.conv_layers.{i}.0.bias"] = rng.normal(size=dim).astype(
+            np.float32
+        )
+        sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = np.ones(dim, np.float32)
+        sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = np.zeros(dim, np.float32)
+    c = cfg.conv_layers[-1][0]
+    d = cfg.encoder_dim
+    sd["layer_norm.weight"] = np.ones(c, np.float32)
+    sd["layer_norm.bias"] = np.zeros(c, np.float32)
+    sd["post_extract_proj.weight"] = rng.normal(size=(d, c)).astype(np.float32)
+    sd["post_extract_proj.bias"] = rng.normal(size=d).astype(np.float32)
+    sd["encoder.pos_conv.0.weight_g"] = np.ones(
+        (1, 1, cfg.pos_conv_kernel), np.float32  # weight_norm dim=2 -> [1,1,K]
+    )
+    sd["encoder.pos_conv.0.weight_v"] = rng.normal(
+        size=(d, d // cfg.pos_conv_groups, cfg.pos_conv_kernel)
+    ).astype(np.float32)
+    sd["encoder.pos_conv.0.bias"] = rng.normal(size=d).astype(np.float32)
+    for i in range(cfg.encoder_layers):
+        pre = f"encoder.layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{pre}.self_attn.{name}.weight"] = rng.normal(size=(d, d)).astype(
+                np.float32
+            )
+            sd[f"{pre}.self_attn.{name}.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{pre}.self_attn_layer_norm.weight"] = np.ones(d, np.float32)
+        sd[f"{pre}.self_attn_layer_norm.bias"] = np.zeros(d, np.float32)
+        sd[f"{pre}.fc1.weight"] = rng.normal(size=(cfg.ffn_dim, d)).astype(np.float32)
+        sd[f"{pre}.fc1.bias"] = rng.normal(size=cfg.ffn_dim).astype(np.float32)
+        sd[f"{pre}.fc2.weight"] = rng.normal(size=(d, cfg.ffn_dim)).astype(np.float32)
+        sd[f"{pre}.fc2.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{pre}.final_layer_norm.weight"] = np.ones(d, np.float32)
+        sd[f"{pre}.final_layer_norm.bias"] = np.zeros(d, np.float32)
+    sd["encoder.layer_norm.weight"] = np.ones(d, np.float32)
+    sd["encoder.layer_norm.bias"] = np.zeros(d, np.float32)
+
+    tree = convert.from_fairseq_state_dict(sd, cfg)
+    # structure matches our init tree; a forward runs and is finite
+    init_tree = X.init_xlsr(jax.random.key(0), cfg)
+    assert jax.tree.structure(tree) == jax.tree.structure(init_tree)
+    wav = jnp.asarray(rng.normal(size=(1, 1600)).astype(np.float32))
+    out = X.extract_features(tree, cfg, wav)
+    assert np.isfinite(np.asarray(out)).all()
+    # spot-check one mapped weight (q of layer 1, transposed)
+    np.testing.assert_allclose(
+        np.asarray(tree["encoder"]["layers"]["attn"]["q"]["w"][1]),
+        sd["encoder.layers.1.self_attn.q_proj.weight"].T,
+        atol=0,
+    )

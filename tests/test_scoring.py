@@ -1,6 +1,7 @@
 """Score-file writers: format byte-compatibility and padded-tail handling."""
 
 import numpy as np
+import pytest
 
 from scl_deepfake_audio_detection_tpu.train import scoring
 from scl_deepfake_audio_detection_tpu.train.analysis import load_scores
@@ -55,3 +56,32 @@ def test_emb_files(tmp_path):
     assert (tmp_path / "c.npy").exists()
     assert len((tmp_path / "scores.txt").read_text().splitlines()) == 3
     np.testing.assert_array_equal(np.load(tmp_path / "a.npy"), np.ones(4, np.float32))
+
+
+def test_score_long_audio_chunks_and_averages():
+    from scl_deepfake_audio_detection_tpu.train.scoring import score_long_audio
+
+    calls = []
+
+    def fake_score(wav):
+        calls.append(wav.shape)
+        # score = mean of the chunk (distinguishes chunks), two columns
+        m = wav.mean(axis=1)
+        return np.stack([m, -m], axis=1)
+
+    # long audio: 3 windows at hop=window//2 plus the tail crop
+    window = 1000
+    wav = np.arange(2600, dtype=np.float32)
+    out = score_long_audio(wav, fake_score, window=window, batch=4)
+    assert out.shape == (2,)
+    assert all(s == (4, window) for s in calls)  # fixed compiled shape
+    # chunk starts: 0, 500, 1000, 1500, 1600(tail) -> means average correctly
+    starts = [0, 500, 1000, 1500, 1600]
+    want = np.mean([np.arange(s, s + window).mean() for s in starts])
+    assert out[0] == pytest.approx(want, rel=1e-6)
+
+    # short audio passes through as one window
+    calls.clear()
+    short = np.ones(300, np.float32)
+    out2 = score_long_audio(short, fake_score, window=window, batch=4)
+    assert out2[0] == pytest.approx(1.0, rel=1e-6)  # tile-padded, mean stays 1

@@ -167,3 +167,20 @@ def test_bf16_compute_close_to_fp32(tiny_pair):
     # bf16 matmuls with fp32 LN/softmax should track fp32 to ~1e-2 relative
     rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
     assert rel < 5e-2, rel
+
+
+def test_conv_impl_gemm_matches_conv(rng):
+    """The patch+GEMM feature encoder equals the lax.conv lowering for every
+    kernel/stride combination the XLS-R stack uses (10/5, 3/2, 2/2)."""
+    import jax.numpy as jnp
+
+    from scl_deepfake_audio_detection_tpu.models import xlsr as X
+
+    cfg_g = X.XLSRConfig.tiny(conv_impl="gemm")
+    cfg_c = cfg_g.with_(conv_impl="conv")
+    params = X.init_xlsr(jax.random.key(0), cfg_g)
+    wav = jnp.asarray(rng.normal(size=(2, 3201)).astype(np.float32))
+    a = np.asarray(X.feature_encoder(params, cfg_g, wav))
+    b = np.asarray(X.feature_encoder(params, cfg_c, wav))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-5)
