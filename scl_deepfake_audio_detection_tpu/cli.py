@@ -181,6 +181,7 @@ def main(argv=None) -> int:
 
     params = _init_params(args, model, rng_key)
     buffers = None
+    resume_opt = resume_epoch = None
     if args.model_path:
         if args.model_path.endswith(".pth"):
             print("note: reference .pth head checkpoints need the matching SSL "
@@ -189,10 +190,24 @@ def main(argv=None) -> int:
             tree, extra = ckpt.load(args.model_path)
             params = tree["params"] if "params" in tree else tree
             buffers = tree.get("buffers") if isinstance(tree, dict) else None
+            if isinstance(tree, dict) and "opt_state_leaves" in tree:
+                resume_opt = args.model_path  # full train state: exact resume
+                resume_epoch = int(extra.get("epoch", -1)) + 1
             print(f"loaded checkpoint {args.model_path} (extra={extra})")
     params, buffers, opt_state = engine.init_state(
         rng_key, params=params, buffers=buffers
     )
+    if resume_opt is not None:
+        from scl_deepfake_audio_detection_tpu.parallel import shard_params
+
+        params, b2, opt_state, _, rng_key, _ = ckpt.load_train_state(
+            resume_opt, opt_state
+        )
+        params = shard_params(params, engine.mesh)
+        buffers = shard_params(b2, engine.mesh) if b2 else buffers
+        if args.start_epoch == 0 and resume_epoch:
+            train_cfg.start_epoch = resume_epoch
+            print(f"resuming full train state at epoch {resume_epoch}")
 
     desc = DATASETS.get(cfg.data.name)
 

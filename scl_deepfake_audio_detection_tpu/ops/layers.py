@@ -102,6 +102,9 @@ def conv1d(
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     pad = padding if isinstance(padding, str) else [tuple(padding[0])]
+    # output dtype == operand dtype: the MXU accumulates in fp32 internally
+    # regardless, and the AD transpose then sees matching conv dtypes (an
+    # fp32 cotangent against bf16 operands is a lax.conv type error)
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -109,7 +112,7 @@ def conv1d(
         padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
         precision=PRECISION,
     )
     if "b" in p:
@@ -159,7 +162,7 @@ def conv2d(
         window_strides=stride,
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,  # see conv1d: AD transpose dtypes
         precision=PRECISION,
     )
     if "b" in p:

@@ -109,6 +109,20 @@ def batch_pspec(ndim: int) -> P:
 
 
 def shard_batch(batch, mesh: Mesh):
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, batch_pspec(x.ndim))), batch
-    )
+    """Place a host batch on the mesh, leading axis over 'data'.
+
+    Arrays whose leading dim doesn't divide the data-axis size are
+    replicated instead — e.g. the reference's default ``batch_size=1`` on a
+    multi-device host trains without data parallelism rather than erroring
+    (one group is one loss unit; it can't split).
+    """
+    data_size = mesh.shape.get("data", 1)
+
+    def place(x):
+        if not hasattr(x, "ndim"):  # utt-id lists ride along untouched
+            return x
+        divisible = x.ndim > 0 and x.shape[0] % data_size == 0
+        spec = batch_pspec(x.ndim) if divisible else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, batch)

@@ -132,7 +132,12 @@ class Engine:
         return params, buffers, opt_state
 
     def place_batch(self, batch):
-        return shard_batch(batch, self.mesh)
+        """Device-place the numeric fields; metadata (utt ids) never enters
+        the jitted step."""
+        numeric = {
+            k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jax.Array))
+        }
+        return shard_batch(numeric, self.mesh)
 
     # ---------------------------------------------------------------- epochs
     def run_epoch(
@@ -234,16 +239,22 @@ class Engine:
                 log_fn(epoch, record)
 
             val_acc = val_m.get("accuracy", 0.0) * 100.0
-            if stopper(val_acc) and save_dir:
+            is_best = stopper(val_acc)
+            if save_dir:
+                # always keep a resumable last state: the reference only saves
+                # above its 90%-accuracy bar (main.py:43-45,400) and loses the
+                # whole run otherwise
                 ckpt.save_train_state(
-                    os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
-                    params,
-                    opt_state,
-                    epoch,
-                    rng_key,
-                    stopper.best,
+                    os.path.join(save_dir, "last.ckpt"),
+                    params, opt_state, epoch, rng_key, stopper.best,
                     buffers=buffers,
                 )
+                if is_best:
+                    ckpt.save_train_state(
+                        os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
+                        params, opt_state, epoch, rng_key, stopper.best,
+                        buffers=buffers,
+                    )
             if stopper.early_stop:
                 break
         tb.close()

@@ -1,0 +1,126 @@
+"""CLI end-to-end: train -> checkpoint -> resume -> eval score file -> EER.
+
+Drives ``cli.main`` exactly as the shell wrappers do (``scripts/02_train.sh``
+argument flow) on a synthetic mini SCL database with the tiny SSL preset —
+the whole user surface in one pass: config load, registries, batch builder,
+engine fit, checkpointing, scoring writers, analysis."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def mini_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_db")
+    rng = np.random.default_rng(0)
+    utts = [f"u{i}.wav" for i in range(6)]
+    for d in ("bonafide", "vocoded", "eval", "scp", "musan", "rirs"):
+        os.makedirs(root / d, exist_ok=True)
+    for u in utts:
+        n = int(rng.integers(4000, 9000))
+        save_wav(str(root / "bonafide" / u), rng.normal(size=n).astype(np.float32) * 0.2, SR)
+        save_wav(str(root / "vocoded" / f"hifigan_{u}"),
+                 rng.normal(size=n).astype(np.float32) * 0.2, SR)
+        save_wav(str(root / "eval" / u), rng.normal(size=n).astype(np.float32) * 0.2, SR)
+    save_wav(str(root / "musan" / "n.wav"), rng.normal(size=SR).astype(np.float32) * 0.1, SR)
+    rir = np.zeros(200, np.float32)
+    rir[0] = 1.0
+    save_wav(str(root / "rirs" / "r.wav"), rir, SR)
+    with open(root / "scp" / "train_bonafide.lst", "w") as f:
+        f.write("\n".join(utts[:3]) + "\n")
+    with open(root / "scp" / "dev_bonafide.lst", "w") as f:
+        f.write("\n".join(utts[3:]) + "\n")
+    with open(root / "scp" / "test.lst", "w") as f:
+        f.write("\n".join(utts) + "\n")
+    with open(root / "protocol.txt", "w") as f:
+        for i, u in enumerate(utts):
+            key = u.rsplit(".", 1)[0]
+            label = "bonafide" if i % 2 == 0 else "spoof"
+            f.write(f"spk {key} - none {label}\n")
+    return root, utts
+
+
+@pytest.fixture(scope="module")
+def mini_config(mini_db, tmp_path_factory):
+    root, _ = mini_db
+    cfg_dir = tmp_path_factory.mktemp("cfg")
+    p = cfg_dir / "tiny.yaml"
+    p.write_text(f"""
+model:
+  name: wav2vec2_linear_nll
+  flag_fix_ssl: false
+  contra_mode: 'all'
+  loss_type: 1
+data:
+  name: 'asvspoof_2019_augall_3'
+  kwargs:
+    vocoders: ['hifigan']
+    augmentation_methods: ["RawBoost12", "reverb_wrapper"]
+    num_additional_real: 2
+    trim_length: 4000
+    wav_samp_rate: 16000
+    online_aug: true
+    aug_dir: '/tmp/cli_e2e_aug'
+    noise_path: '{root}/musan'
+    rir_path: '{root}/rirs'
+""")
+    return str(p)
+
+
+def test_cli_train_eval_analyze(mini_db, mini_config, tmp_path):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root, utts = mini_db
+    out_dir = str(tmp_path / "out")
+
+    # ---- train 2 epochs (tiny SSL; 3 anchors => 3 steps/epoch) -------------
+    rc = main([
+        "--config", mini_config,
+        "--database_path", str(root) + "/",
+        "--batch_size", "1",
+        "--num_epochs", "2",
+        "--seed", "7",
+        "--ssl_preset", "tiny",
+        "--num_workers", "2",
+        "--out_dir", out_dir,
+        "--comment", "e2e",
+        "--padding_type", "repeat",
+    ])
+    assert rc == 0
+    tag_dirs = os.listdir(out_dir)
+    assert len(tag_dirs) == 1
+    run_dir = os.path.join(out_dir, tag_dirs[0])
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    ckpts = [f for f in os.listdir(run_dir) if f.endswith(".ckpt")]
+    assert "last.ckpt" in ckpts, "every epoch must leave a resumable state"
+
+    # ---- eval with the trained checkpoint -> score file --------------------
+    scores = str(tmp_path / "scores.txt")
+    rc = main([
+        "--config", mini_config,
+        "--database_path", str(root) + "/",
+        "--batch_size", "2",
+        "--eval",
+        "--model_path", os.path.join(run_dir, "last.ckpt"),
+        "--eval_output", scores,
+        "--ssl_preset", "tiny",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    lines = open(scores).read().strip().splitlines()
+    assert len(lines) == len(utts)
+    assert all(len(l.split()) == 3 for l in lines)
+
+    # ---- analyze the scores against the protocol ---------------------------
+    rc = main([
+        "--analyze", scores,
+        "--protocol", str(root / "protocol.txt"),
+        "--score_format", "eval",
+    ])
+    assert rc == 0
