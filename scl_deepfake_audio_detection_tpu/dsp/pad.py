@@ -45,6 +45,48 @@ def _match_length(x: np.ndarray, length: int, repeat_pad: bool) -> np.ndarray:
     return out
 
 
+def rand_sil_trim(
+    x: np.ndarray,
+    sr: int = 16000,
+    random_trim_sil: bool = False,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Trim leading/trailing silence via the energy VAD; optionally keep a
+    random fraction of it (capability match for ``wav_rand_sil_trim``,
+    ``core_scripts/data_io/wav_augmentation.py:78-140``).
+
+    Returns ``(trimmed, start, end)`` with ``trimmed = x[start:end]``; when the
+    trim range is degenerate (or starts at 0, like the reference's guard) the
+    input passes through unchanged.
+    """
+    from scl_deepfake_audio_detection_tpu.dsp.vad import speech_bounds_samples
+
+    start, end = speech_bounds_samples(x, sr)
+    if random_trim_sil:
+        rng = rng or np.random.default_rng()
+        prob = rng.random()
+        start = int(start * prob)
+        end = int((x.shape[0] - end) * prob) + end
+    if 0 < start < end:
+        return x[start:end], start, end
+    return x, 0, x.shape[0]
+
+
+def multiview_silence_trim(
+    views: Sequence[np.ndarray],
+    sr: int = 16000,
+    random_trim_sil: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> List[np.ndarray]:
+    """Co-trim every view with the silence bounds of view 0 (capability match
+    for ``batch_siltrim_for_multiview``, ``wav_augmentation.py:170-206`` —
+    bounds from the anchor so all views stay sample-aligned)."""
+    _, start, end = rand_sil_trim(views[0], sr, random_trim_sil, rng)
+    if 0 < start < end:
+        return [v[start:end] for v in views]
+    return list(views)
+
+
 def multiview_pad(
     views: Sequence[np.ndarray],
     length: int,

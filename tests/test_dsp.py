@@ -221,3 +221,36 @@ def test_time_mask_zeroes_segment(tone, rng):
     y = A.time_mask(tone, rng, sr=FS)
     assert y.shape == tone.shape
     assert np.sum(y == 0) > 0
+
+
+def test_rand_sil_trim_and_multiview(rng):
+    from scl_deepfake_audio_detection_tpu.dsp.pad import (
+        multiview_silence_trim,
+        rand_sil_trim,
+    )
+
+    sr = 16000
+    # 0.5s silence + 1s speech + 0.5s silence
+    wav = np.zeros(2 * sr, np.float32)
+    wav[sr // 2 : 3 * sr // 2] = 0.3 * rng.normal(size=sr).astype(np.float32)
+    trimmed, start, end = rand_sil_trim(wav, sr)
+    assert 0 < start <= sr // 2 + 400  # VAD smoothing slack
+    assert 3 * sr // 2 - 400 <= end <= 2 * sr
+    np.testing.assert_array_equal(trimmed, wav[start:end])
+
+    # random silence keep: trims strictly less silence than the full trim
+    t2, s2, e2 = rand_sil_trim(wav, sr, random_trim_sil=True,
+                               rng=np.random.default_rng(5))
+    assert s2 <= start and e2 >= end
+
+    # co-trim: all views share view 0's bounds
+    views = [wav, rng.normal(size=2 * sr).astype(np.float32)]
+    out = multiview_silence_trim(views, sr)
+    assert len(out) == 2
+    assert out[0].shape == out[1].shape == (end - start,)
+    np.testing.assert_array_equal(out[1], views[1][start:end])
+
+    # all-silence input passes through
+    silent = np.zeros(sr, np.float32)
+    t3, s3, e3 = rand_sil_trim(silent, sr)
+    assert (s3, e3) == (0, sr) or t3.shape[0] == sr
