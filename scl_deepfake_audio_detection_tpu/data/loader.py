@@ -34,7 +34,13 @@ class TrainLoader:
         num_workers: int = 4,
         seed: int = 1234,
         prefetch: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_index``/``num_shards``: multi-host data sharding — every
+        process draws the same seeded global order and keeps its stride slice,
+        so per-host streams are disjoint and globally reproducible (pass
+        ``jax.process_index()``/``jax.process_count()`` on multi-host pods)."""
         self.builder = builder
         self.groups = groups_per_step
         self.shuffle = shuffle
@@ -42,9 +48,11 @@ class TrainLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = max(1, num_shards)
 
     def __len__(self) -> int:
-        n = len(self.builder)
+        n = len(self.builder) // self.num_shards
         return n // self.groups if self.drop_last else -(-n // self.groups)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
@@ -53,6 +61,8 @@ class TrainLoader:
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, epoch])
             ).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards]
         if self.drop_last:
             order = order[: len(order) - len(order) % self.groups]
 

@@ -185,3 +185,25 @@ def test_spec_from_config_reference_yaml():
     assert spec.variant == "augall_3"
     assert spec.num_views == 11
     assert spec.trim_length == 64000
+
+
+def test_train_loader_multihost_shards_disjoint(db):
+    """Process shards draw disjoint, seed-stable slices of one global order."""
+    root, utts = db
+    spec = spec_from_config("asvspoof_2019_augall_3",
+                            dict(vocoders=VOCODERS[:1], augmentation_methods=[],
+                                 num_additional_real=1, trim_length=4000))
+    b = SCLViewBatchBuilder(spec, str(root) + "/", utts, _resources(root), seed=0)
+    loaders = [
+        TrainLoader(b, 1, shuffle=True, num_workers=1, seed=3,
+                    shard_index=i, num_shards=2, drop_last=False)
+        for i in range(2)
+    ]
+    seen = [
+        [batch["utts"][0] for batch in ld.epoch(0)] for ld in loaders
+    ]
+    assert not (set(seen[0]) & set(seen[1]))  # disjoint
+    assert sorted(seen[0] + seen[1]) == sorted(utts)  # complete
+    # deterministic across re-iteration
+    again = [batch["utts"][0] for batch in loaders[0].epoch(0)]
+    assert again == seen[0]
