@@ -24,7 +24,7 @@ def main() -> int:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16", attention_impl="flash")
+        ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16", attention_impl="auto")
         batch, samples, iters, warmup = 24, 64600, 20, 3
     else:  # CPU smoke fallback so the bench never hard-fails
         ssl = XLSRConfig.tiny()

@@ -159,6 +159,13 @@ def _flash_bwd(kv_len, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# Below this sequence length the full [T, T] score matrix is tile-sized and
+# XLA's fused einsum beats the streaming kernel (measured on v5e, XLS-R 300M
+# @ 24x64600 -> T=201: xla 47.3 ms vs flash 49.8 ms per forward; flash wins
+# once T spans many kv blocks).
+FLASH_MIN_SEQ = 512
+
+
 def self_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -167,13 +174,12 @@ def self_attention(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch: 'flash' (Pallas TPU kernel), 'xla' (einsum), or 'auto'
-    (flash on TPU, xla elsewhere). q must be pre-scaled by 1/sqrt(D)."""
+    (on TPU: flash for long sequences, fused einsum for short ones — the
+    XLS-R eval shapes sit at T~=200 where einsum measures faster; see
+    FLASH_MIN_SEQ). q must be pre-scaled by 1/sqrt(D)."""
     if impl == "auto":
-        impl = (
-            "flash"
-            if pltpu is not None and jax.default_backend() == "tpu"
-            else "xla"
-        )
+        on_tpu = pltpu is not None and jax.default_backend() == "tpu"
+        impl = "flash" if on_tpu and q.shape[2] >= FLASH_MIN_SEQ else "xla"
     if impl == "flash":
         return flash_attention(q, k, v, kv_len)
     return attention_reference(q, k, v, kv_len)

@@ -124,7 +124,10 @@ class Engine:
         pytree ({} for stateless models) — replicated across the mesh."""
         from scl_deepfake_audio_detection_tpu.models.base import model_buffers
 
-        params = params if params is not None else self.model.init(rng_key)
+        # one compiled program for the whole init: eager init dispatches one
+        # tiny RNG program per parameter (hundreds of device round trips —
+        # minutes over a remote-tunneled chip)
+        params = params if params is not None else jax.jit(self.model.init)(rng_key)
         params = shard_params(params, self.mesh)
         buffers = buffers if buffers is not None else model_buffers(self.model)
         buffers = shard_params(buffers, self.mesh)
