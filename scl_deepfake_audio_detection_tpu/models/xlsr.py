@@ -12,8 +12,9 @@ TPU-first design decisions (vs. a torch translation):
 - encoder layers are a *stacked* parameter pytree driven by ``lax.scan`` —
   one compiled layer body instead of 24 unrolled blocks (fast compiles,
   optional ``jax.checkpoint`` remat per layer for the backward pass);
-- attention runs through ``ops.attention.self_attention`` (Pallas flash
-  kernel on TPU);
+- attention runs through ``ops.attention.self_attention`` (length-aware
+  dispatch: fused XLA einsum at the ~200-frame eval shapes, the Pallas flash
+  kernel for long sequences);
 - static shapes everywhere; bf16 matmuls with fp32 layernorm/softmax.
 
 Weights convert from fairseq ``xlsr2_300m.pt`` or HuggingFace
@@ -75,6 +76,9 @@ class XLSRConfig:
     # patch+matmul. Measured on v5e (24x64600, bf16): conv 12.7ms vs gemm
     # 22.6ms — XLA's conv lowering wins; 'gemm' kept for other topologies.
     scan_unroll: int = 1  # lax.scan unroll factor over encoder layers
+    fuse_qkv: bool = False  # one [D, 3D] projection instead of three [D, D];
+    # measured slower under scan on v5e (51.3 vs 46.9 ms @ 24x64600): the
+    # per-step weight concat costs more than the larger GEMM saves
     remat: bool = False  # checkpoint each encoder layer in the bwd pass
 
     @property
@@ -268,9 +272,23 @@ def _encoder_layer(
 
     # self-attention block
     y = layer_norm(layer["ln_attn"], x, cfg.layer_norm_eps)
-    q = linear(layer["attn"]["q"], y, cdtype) * (hd**-0.5)
-    k = linear(layer["attn"]["k"], y, cdtype)
-    v = linear(layer["attn"]["v"], y, cdtype)
+    if cfg.fuse_qkv:
+        # single [D, 3D] GEMM; the weight concat is loop-invariant reads the
+        # scheduler overlaps with compute
+        a = layer["attn"]
+        wqkv = jnp.concatenate(
+            [a["q"]["w"], a["k"]["w"], a["v"]["w"]], axis=-1
+        ).astype(cdtype)
+        bqkv = jnp.concatenate([a["q"]["b"], a["k"]["b"], a["v"]["b"]])
+        qkv = jnp.dot(y.astype(cdtype), wqkv,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q * (hd**-0.5)
+    else:
+        q = linear(layer["attn"]["q"], y, cdtype) * (hd**-0.5)
+        k = linear(layer["attn"]["k"], y, cdtype)
+        v = linear(layer["attn"]["v"], y, cdtype)
     q, k, v = (
         z.reshape(b, t, h, hd).transpose(0, 2, 1, 3).astype(cdtype) for z in (q, k, v)
     )
