@@ -124,3 +124,56 @@ def test_cli_train_eval_analyze(mini_db, mini_config, tmp_path):
         "--score_format", "eval",
     ])
     assert rc == 0
+
+    # ---- predict mode: utt score pred ---------------------------------------
+    preds = str(tmp_path / "preds.txt")
+    rc = main([
+        "--config", mini_config,
+        "--database_path", str(root) + "/",
+        "--batch_size", "2",
+        "--eval", "--predict",
+        "--model_path", os.path.join(run_dir, "last.ckpt"),
+        "--eval_output", preds,
+        "--ssl_preset", "tiny",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    plines = open(preds).read().strip().splitlines()
+    assert len(plines) == len(utts)
+    assert all(l.split()[2] in ("0", "1") for l in plines)
+
+    # ---- emb mode: per-utt .npy + scores.txt --------------------------------
+    emb_dir = str(tmp_path / "embs")
+    rc = main([
+        "--config", mini_config,
+        "--database_path", str(root) + "/",
+        "--batch_size", "2",
+        "--eval", "--emb",
+        "--model_path", os.path.join(run_dir, "last.ckpt"),
+        "--eval_output", emb_dir,
+        "--ssl_preset", "tiny",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    npys = [f for f in os.listdir(emb_dir) if f.endswith(".npy")]
+    assert len(npys) == len(utts)
+    assert os.path.exists(os.path.join(emb_dir, "scores.txt"))
+
+
+def test_tensorboard_scalar_writer(tmp_path):
+    from scl_deepfake_audio_detection_tpu.train.tblog import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path / "tb"))
+    w.scalars({"train_loss": 1.5, "val_accuracy": 0.8, "train_L_CE": 0.3,
+               "epoch": 0}, step=0)
+    w.close()
+    files = []
+    for dirpath, _, names in os.walk(tmp_path / "tb"):
+        files += [n for n in names if "tfevents" in n]
+    # writer is a no-op without the tensorboard backend; with it, events exist
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+
+        assert files
+    except Exception:
+        assert not files
