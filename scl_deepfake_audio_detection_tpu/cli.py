@@ -102,10 +102,12 @@ def _build_model(args, cfg):
     from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
     from scl_deepfake_audio_detection_tpu.utils.registry import MODELS
 
+    # remat trades recompute for activation memory in the backward pass —
+    # required to fit 300M-param training on one chip; free at eval (fwd only)
     ssl = (
-        XLSRConfig.tiny(compute_dtype=args.compute_dtype)
+        XLSRConfig.tiny(compute_dtype=args.compute_dtype, remat=True)
         if args.ssl_preset == "tiny"
-        else XLSRConfig.xlsr_300m(compute_dtype=args.compute_dtype)
+        else XLSRConfig.xlsr_300m(compute_dtype=args.compute_dtype, remat=True)
     )
     cls = MODELS.get(cfg.model.name)
     model = cls.from_config(cfg.model, ssl=ssl)
