@@ -1,0 +1,164 @@
+"""On-device SCL view-batch composition.
+
+The reference builds each 11-view anchor batch on CPU workers: ~11 librosa
+loads + FIR chains + noise/RIR convolutions per item behind 8 forked workers
+(``datautils/asvspoof_2019_augall_3.py:103-146``; SURVEY §7 hard part 3 warns
+the host pipeline will starve a TPU).  This module moves the *compute* of the
+conf-3 augmentation list — RawBoost12, background noise at random SNR, RIR
+reverb — onto the chip: the host only decodes raw audio (native C reader) and
+draws filter designs; everything else is one jit program over the whole
+[G, V, T] batch:
+
+  inputs   anchors [G, T], vocoded [G, n_voc, T] (host-decoded, co-cropped),
+           additional reals [G, n_real, T], noise bank [N_noise, T_noise],
+           RIR bank [N_rir, T_rir]  (banks live in HBM across steps)
+  on chip  RawBoost LnL+ISD (batched FFT convolution, dsp/rawboost_jax),
+           background-noise mixing at U(10,40) dB SNR over random bank crops,
+           FFT reverb with a random RIR, label vector assembly
+
+Views follow the conf-3 recipe (``asvspoof_2019_augall_3.py:103-146``):
+anchor, RawBoost(anchor), noise(anchor), reverb(anchor), additional reals,
+vocoded negatives, RawBoost(vocoded) — 5 bonafide + 2*n_voc spoof views for
+the default n_real=1, n_voc=3 (11 views, labels [1]*5 + [0]*6).
+
+Pitch/speed/telephone stay host-side (resampling and codec round trips are
+not fixed-shape friendly); the host path remains the general fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.dsp import rawboost_jax as RBJ
+from scl_deepfake_audio_detection_tpu.utils.config import RawBoostConfig
+
+
+def mix_noise_at_snr(
+    wav: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray
+) -> jnp.ndarray:
+    """wav [..., T] + noise [..., T] at per-row SNR (dB); RMS-power scaling
+    like the MUSAN overlay (``audio_augmentor/background_noise.py:42-60``)."""
+    pw = jnp.mean(wav**2, axis=-1, keepdims=True)
+    pn = jnp.mean(noise**2, axis=-1, keepdims=True) + 1e-12
+    gain = jnp.sqrt(pw / (pn * 10.0 ** (snr_db / 10.0)))
+    return wav + gain * noise
+
+
+def fft_reverb(wav: jnp.ndarray, rir: jnp.ndarray) -> jnp.ndarray:
+    """[..., T] x [..., T_rir] FFT convolution, peak-normalized (the
+    reference's ``reverb.py:33-46`` / ``wav_reverb`` FFT path), truncated to
+    the input length."""
+    t = wav.shape[-1]
+    n = t + rir.shape[-1]
+    y = jnp.fft.irfft(
+        jnp.fft.rfft(wav, n, axis=-1) * jnp.fft.rfft(rir, n, axis=-1), n, axis=-1
+    )[..., :t]
+    peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-12
+    return y / peak
+
+
+def _random_bank_rows(key, bank: jnp.ndarray, rows: int, length: int):
+    """Pick ``rows`` random crops [rows, length] from bank [N, T_bank]."""
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (rows,), 0, bank.shape[0])
+    max_start = max(bank.shape[1] - length, 1)
+    starts = jax.random.randint(k2, (rows,), 0, max_start)
+    sel = bank[idx]  # [rows, T_bank]
+    return jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice_in_dim(row, s, length)
+    )(sel, starts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compose_views(
+    anchors: jnp.ndarray,  # [G, T]
+    reals: jnp.ndarray,  # [G, n_real, T]
+    vocoded: jnp.ndarray,  # [G, n_voc, T]
+    noise_bank: jnp.ndarray,  # [N, T_bank]  (T_bank >= T)
+    rir_bank: jnp.ndarray,  # [M, T_rir]
+    lnl_chains: jnp.ndarray,  # [G*(1+n_voc), n_f, NB] packed notch chains
+    key: jax.Array,
+    cfg: RawBoostConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (views [G, V, T], labels [G, V]) — the conf-3 composition, on device."""
+    g, t = anchors.shape
+    n_real = reals.shape[1]
+    n_voc = vocoded.shape[1]
+    k_rb_a, k_rb_v, k_noise, k_snr, k_rir = jax.random.split(key, 5)
+
+    # RawBoost12 on anchor + each vocoded view (one batched call)
+    rb_in = jnp.concatenate([anchors[:, None, :], vocoded], axis=1)  # [G,1+nv,T]
+    flat = rb_in.reshape(g * (1 + n_voc), t)
+    rb = RBJ.isd_additive_noise(
+        RBJ.lnl_convolutive_noise(flat, lnl_chains), k_rb_a, cfg.P, cfg.g_sd
+    ).reshape(g, 1 + n_voc, t)
+    rb_anchor, rb_voc = rb[:, 0], rb[:, 1:]
+
+    # background noise at U(5, 15) dB like the MUSAN augmentor's default
+    noise = _random_bank_rows(k_noise, noise_bank, g, t)
+    snr = jax.random.uniform(k_snr, (g, 1), minval=5.0, maxval=15.0)
+    noisy = mix_noise_at_snr(anchors, noise, snr)
+
+    # reverb with a random RIR per anchor
+    rirs = _random_bank_rows(k_rir, rir_bank, g, rir_bank.shape[1])
+    reverbed = fft_reverb(anchors, rirs)
+
+    views = jnp.concatenate(
+        [
+            anchors[:, None],
+            rb_anchor[:, None],
+            noisy[:, None],
+            reverbed[:, None],
+            reals,
+            vocoded,
+            rb_voc,
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    labels = jnp.concatenate(
+        [
+            jnp.ones((g, 4 + n_real), jnp.float32),
+            jnp.zeros((g, 2 * n_voc), jnp.float32),
+        ],
+        axis=1,
+    )
+    return views, labels
+
+
+class DeviceViewComposer:
+    """Host wrapper: owns the on-device noise/RIR banks and per-call filter
+    designs; call with raw host arrays, get a composed device batch."""
+
+    def __init__(
+        self,
+        cfg: RawBoostConfig,
+        noise_bank: np.ndarray,
+        rir_bank: np.ndarray,
+        fs: int = 16000,
+        nb: int = 1024,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.fs = fs
+        self.nb = nb
+        self.noise_bank = jnp.asarray(noise_bank, jnp.float32)
+        self.rir_bank = jnp.asarray(rir_bank, jnp.float32)
+        self.host_rng = np.random.default_rng(seed)
+
+    def __call__(self, anchors, reals, vocoded, key):
+        g = anchors.shape[0]
+        n_voc = vocoded.shape[1]
+        chains = np.stack([
+            RBJ.pack_chains(RBJ.design_lnl_chains(self.cfg, self.fs, self.host_rng),
+                            self.nb)
+            for _ in range(g * (1 + n_voc))
+        ])
+        return compose_views(
+            jnp.asarray(anchors), jnp.asarray(reals), jnp.asarray(vocoded),
+            self.noise_bank, self.rir_bank, jnp.asarray(chains), key, self.cfg,
+        )

@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Optional
 import yaml
 
 
-@dataclass
+@dataclass(frozen=True)  # hashable -> usable as a jit static argument
 class RawBoostConfig:
     """RawBoost DSP knobs.
 

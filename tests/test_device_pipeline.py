@@ -1,0 +1,93 @@
+"""On-device view-batch composition (data/device_pipeline.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.data.device_pipeline import (
+    DeviceViewComposer,
+    fft_reverb,
+    mix_noise_at_snr,
+)
+from scl_deepfake_audio_detection_tpu.utils.config import RawBoostConfig
+
+
+def test_mix_noise_snr_is_accurate(rng):
+    wav = jnp.asarray(rng.normal(size=(3, 8000)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=(3, 8000)).astype(np.float32))
+    snr = jnp.asarray([[5.0], [10.0], [15.0]])
+    out = mix_noise_at_snr(wav, noise, snr)
+    added = np.asarray(out - wav)
+    got = 10 * np.log10(np.mean(np.asarray(wav) ** 2, 1) / np.mean(added**2, 1))
+    np.testing.assert_allclose(got, [5.0, 10.0, 15.0], atol=0.1)
+
+
+def test_fft_reverb_identity_rir(rng):
+    wav = jnp.asarray(rng.normal(size=(2, 4000)).astype(np.float32))
+    rir = jnp.zeros((2, 300), jnp.float32).at[:, 0].set(1.0)
+    out = np.asarray(fft_reverb(wav, rir))
+    # delta RIR -> peak-normalized copy of the input
+    want = np.asarray(wav) / np.abs(np.asarray(wav)).max(axis=1, keepdims=True)
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_device_composer_conf3_layout(rng):
+    g, t, n_real, n_voc = 2, 4000, 1, 3
+    composer = DeviceViewComposer(
+        RawBoostConfig(),
+        noise_bank=rng.normal(size=(4, 8000)).astype(np.float32) * 0.1,
+        rir_bank=np.eye(3, 400, dtype=np.float32),  # delta-ish RIRs
+        nb=512,
+    )
+    anchors = rng.normal(size=(g, t)).astype(np.float32) * 0.3
+    reals = rng.normal(size=(g, n_real, t)).astype(np.float32) * 0.3
+    vocoded = rng.normal(size=(g, n_voc, t)).astype(np.float32) * 0.3
+
+    views, labels = composer(anchors, reals, vocoded, jax.random.key(0))
+    views, labels = np.asarray(views), np.asarray(labels)
+    assert views.shape == (g, 4 + n_real + 2 * n_voc, t)  # 11 views
+    assert labels.shape == (g, 11)
+    np.testing.assert_array_equal(labels[0], [1] * 5 + [0] * 6)
+    assert np.isfinite(views).all()
+    # view 0 is the untouched anchor
+    np.testing.assert_allclose(views[:, 0], anchors, atol=1e-6)
+    # augmented views actually differ from the anchor
+    for v in (1, 2, 3):
+        assert not np.allclose(views[:, v], anchors)
+    # vocoded negatives pass through; their RawBoost twins differ
+    np.testing.assert_allclose(views[:, 5:8], vocoded, atol=1e-6)
+    assert not np.allclose(views[:, 8:], vocoded)
+
+
+def test_device_composer_feeds_train_step(rng):
+    """Composed device batches drive the jitted train step directly."""
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.parallel import make_mesh
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+    from scl_deepfake_audio_detection_tpu.train.optim import set_learning_rate
+    from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
+
+    composer = DeviceViewComposer(
+        RawBoostConfig(),
+        noise_bank=rng.normal(size=(2, 6000)).astype(np.float32) * 0.1,
+        rir_bank=np.eye(2, 200, dtype=np.float32),
+        nb=512,  # 5 notch filters x <=100 taps convolve to <=~500 taps
+    )
+    g, t = 2, 3200
+    views, labels = composer(
+        rng.normal(size=(g, t)).astype(np.float32) * 0.3,
+        rng.normal(size=(g, 1, t)).astype(np.float32) * 0.3,
+        rng.normal(size=(g, 3, t)).astype(np.float32) * 0.3,
+        jax.random.key(1),
+    )
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    eng = Engine(model, TrainConfig(max_lr=1e-4),
+                 mesh=make_mesh((2, 1), devices=jax.devices()[:2]))
+    params, buffers, opt = eng.init_state(jax.random.key(0))
+    opt = set_learning_rate(opt, 1e-4)
+    batch = eng.place_batch({"wav": np.asarray(views), "labels": np.asarray(labels)})
+    _, _, _, m = eng.train_step(params, buffers, opt, batch, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))
