@@ -223,6 +223,34 @@ class SCLViewBatchBuilder:
         assert batch.shape[0] == spec.num_views, (batch.shape, spec.num_views)
         return utt, batch, labels
 
+    def build_raw(self, idx: int, epoch: int = 0):
+        """Decode-only item for the on-device augmentation path
+        (``data/device_pipeline``): co-cropped raw (anchor [T],
+        additional reals [n_real, T], vocoded [n_voc, T]) with no host DSP —
+        the composer runs RawBoost/noise/reverb on chip.  augall_3-shaped
+        variants only."""
+        spec = self.spec
+        rng = self._rng(idx, epoch)
+        utt = self.files[idx]
+        anchor = self._load(os.path.join(self.bonafide_dir, utt))
+        reals = [
+            self._load(os.path.join(self.bonafide_dir, self.files[i]))
+            for i in rng.choice(
+                [i for i in range(len(self.files)) if i != idx],
+                spec.num_additional_real, replace=False,
+            )
+        ]
+        voc = [
+            self._load(os.path.join(self.vocoded_dir, f"{v}_{utt}"))
+            for v in spec.vocoders
+        ]
+        stack = multiview_pad(
+            [anchor] + reals + voc, spec.trim_length,
+            repeat_pad=spec.repeat_pad, random_trim=True, rng=rng,
+        ).astype(np.float32)
+        n_real = len(reals)
+        return utt, stack[0], stack[1 : 1 + n_real], stack[1 + n_real :]
+
 
 class EvalDataset:
     """Fixed-length eval loader (reference ``Dataset_for_eval``): audio from

@@ -91,3 +91,50 @@ def test_device_composer_feeds_train_step(rng):
     batch = eng.place_batch({"wav": np.asarray(views), "labels": np.asarray(labels)})
     _, _, _, m = eng.train_step(params, buffers, opt, batch, jax.random.key(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_build_raw_feeds_composer(tmp_path, rng):
+    """Decode-only builder items -> device composer -> conf-3 view batch."""
+    import os
+
+    from scl_deepfake_audio_detection_tpu.data.datasets import (
+        SCLViewBatchBuilder,
+        spec_from_config,
+    )
+    from scl_deepfake_audio_detection_tpu.data.augment_registry import (
+        AugmentResources,
+    )
+    from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+    root = tmp_path
+    utts = [f"x{i}.wav" for i in range(3)]
+    os.makedirs(root / "bonafide"); os.makedirs(root / "vocoded")
+    for u in utts:
+        n = int(rng.integers(5000, 9000))
+        save_wav(str(root / "bonafide" / u), rng.normal(size=n).astype(np.float32) * 0.3, 16000)
+        for v in ("hifigan", "waveglow"):
+            save_wav(str(root / "vocoded" / f"{v}_{u}"),
+                     rng.normal(size=n).astype(np.float32) * 0.3, 16000)
+
+    spec = spec_from_config("asvspoof_2019_augall_3",
+                            dict(vocoders=["hifigan", "waveglow"],
+                                 augmentation_methods=["RawBoost12"],
+                                 num_additional_real=1, trim_length=4000))
+    b = SCLViewBatchBuilder(spec, str(root) + "/", utts,
+                            AugmentResources(online=True), seed=0)
+    items = [b.build_raw(i) for i in range(2)]
+    anchors = np.stack([a for _, a, _, _ in items])
+    reals = np.stack([r for _, _, r, _ in items])
+    voc = np.stack([v for _, _, _, v in items])
+    assert anchors.shape == (2, 4000)
+    assert reals.shape == (2, 1, 4000) and voc.shape == (2, 2, 4000)
+
+    composer = DeviceViewComposer(
+        RawBoostConfig(),
+        noise_bank=rng.normal(size=(2, 6000)).astype(np.float32) * 0.1,
+        rir_bank=np.eye(2, 200, dtype=np.float32),
+        nb=512,
+    )
+    views, labels = composer(anchors, reals, voc, jax.random.key(0))
+    assert views.shape == (2, 4 + 1 + 2 * 2, 4000)  # 9 views for 2 vocoders
+    np.testing.assert_array_equal(np.asarray(labels)[0], [1] * 5 + [0] * 4)
