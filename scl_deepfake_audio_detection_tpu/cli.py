@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensorboard scalar logs (default: <out>/<tag>/logs)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--device_aug", action="store_true", default=False,
+                   help="compose view batches on the accelerator (RawBoost/"
+                        "noise/reverb as one jit program; host only decodes)")
     # analysis mode (replaces Result.ipynb)
     p.add_argument("--analyze", type=str, default=None, help="score file to analyze")
     p.add_argument("--protocol", type=str, default=None, help="protocol for --analyze")
@@ -269,10 +272,38 @@ def main(argv=None) -> int:
     dev_builder = SCLViewBatchBuilder(
         spec, args.database_path, file_dev, res, seed=args.seed + 1
     )
-    train_loader = TrainLoader(train_builder, groups, shuffle=True,
-                               num_workers=args.num_workers, seed=args.seed)
-    dev_loader = TrainLoader(dev_builder, groups, shuffle=False, drop_last=False,
-                             num_workers=args.num_workers, seed=args.seed)
+    composer = None
+    if args.device_aug:
+        from scl_deepfake_audio_detection_tpu.data.device_pipeline import (
+            DeviceViewComposer,
+            build_banks,
+        )
+        from scl_deepfake_audio_detection_tpu.data.loader import (
+            DeviceAugTrainLoader,
+        )
+
+        noise_bank, rir_bank = build_banks(
+            cfg.data.kwargs.get("noise_path"), cfg.data.kwargs.get("rir_path"),
+            sr=spec.wav_samp_rate,
+        )
+        composer = DeviceViewComposer(
+            cfg.rawboost, noise_bank, rir_bank, fs=spec.wav_samp_rate,
+            seed=args.seed,
+        )
+        print(f"device augmentation: noise bank {noise_bank.shape}, "
+              f"rir bank {rir_bank.shape}")
+        train_loader = DeviceAugTrainLoader(train_builder, groups, shuffle=True,
+                                            num_workers=args.num_workers,
+                                            seed=args.seed)
+        dev_loader = DeviceAugTrainLoader(dev_builder, groups, shuffle=False,
+                                          drop_last=False,
+                                          num_workers=args.num_workers,
+                                          seed=args.seed)
+    else:
+        train_loader = TrainLoader(train_builder, groups, shuffle=True,
+                                   num_workers=args.num_workers, seed=args.seed)
+        dev_loader = TrainLoader(dev_builder, groups, shuffle=False, drop_last=False,
+                                 num_workers=args.num_workers, seed=args.seed)
 
     save_dir = os.path.join(args.out_dir, train_cfg.model_tag())
     os.makedirs(save_dir, exist_ok=True)
@@ -280,9 +311,23 @@ def main(argv=None) -> int:
 
     epoch_counter = {"n": train_cfg.start_epoch}
 
+    def _composed(raw_batches, epoch):
+        import jax as _jax
+
+        for i, raw in enumerate(raw_batches):
+            key = _jax.random.fold_in(  # epoch -1 = dev pass; keep fold_in >= 0
+                _jax.random.key(args.seed + 77), (epoch + 1) * 1_000_003 + i
+            )
+            views, labels = composer(
+                raw["anchors"], raw["reals"], raw["vocoded"], key
+            )
+            yield {"wav": views, "labels": labels, "utts": raw["utts"]}
+
     def train_batches():
         e = epoch_counter["n"]
         epoch_counter["n"] += 1
+        if composer is not None:
+            return _composed(train_loader.epoch(e), e)
         return train_loader.epoch(e)
 
     def log_fn(epoch, record):
@@ -300,7 +345,11 @@ def main(argv=None) -> int:
         buffers,
         opt_state,
         train_batches=train_batches,
-        dev_batches=lambda: dev_loader.epoch(0),
+        dev_batches=(
+            (lambda: _composed(dev_loader.epoch(0), -1))
+            if composer is not None
+            else (lambda: dev_loader.epoch(0))
+        ),
         rng_key=rng_key,
         save_dir=save_dir,
         log_fn=log_fn,

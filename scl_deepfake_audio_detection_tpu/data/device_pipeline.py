@@ -131,8 +131,15 @@ def compose_views(
 
 
 class DeviceViewComposer:
-    """Host wrapper: owns the on-device noise/RIR banks and per-call filter
-    designs; call with raw host arrays, get a composed device batch."""
+    """Host wrapper: owns the on-device noise/RIR banks and a pre-designed
+    notch-chain pool; call with raw host arrays, get a composed device batch.
+
+    The chain pool removes per-step host DSP entirely: ``pool_size`` LnL
+    chains are designed once (~3 ms each) and device-resident; each step
+    samples rows.  Chains are reused across steps but paired with fresh
+    random ISD/noise/SNR/RIR draws — distribution-equivalent to per-step
+    designs (SURVEY §7 hard part 6: distributions, not streams).
+    """
 
     def __init__(
         self,
@@ -142,6 +149,7 @@ class DeviceViewComposer:
         fs: int = 16000,
         nb: int = 1024,
         seed: int = 0,
+        pool_size: int = 256,
     ):
         self.cfg = cfg
         self.fs = fs
@@ -149,16 +157,60 @@ class DeviceViewComposer:
         self.noise_bank = jnp.asarray(noise_bank, jnp.float32)
         self.rir_bank = jnp.asarray(rir_bank, jnp.float32)
         self.host_rng = np.random.default_rng(seed)
+        self.chain_pool = jnp.asarray(np.stack([
+            RBJ.pack_chains(RBJ.design_lnl_chains(cfg, fs, self.host_rng), nb)
+            for _ in range(pool_size)
+        ]))  # [pool, n_f, NB]
 
     def __call__(self, anchors, reals, vocoded, key):
         g = anchors.shape[0]
         n_voc = vocoded.shape[1]
-        chains = np.stack([
-            RBJ.pack_chains(RBJ.design_lnl_chains(self.cfg, self.fs, self.host_rng),
-                            self.nb)
-            for _ in range(g * (1 + n_voc))
-        ])
+        idx = self.host_rng.integers(self.chain_pool.shape[0], size=g * (1 + n_voc))
+        chains = self.chain_pool[jnp.asarray(idx)]
         return compose_views(
             jnp.asarray(anchors), jnp.asarray(reals), jnp.asarray(vocoded),
-            self.noise_bank, self.rir_bank, jnp.asarray(chains), key, self.cfg,
+            self.noise_bank, self.rir_bank, chains, key, self.cfg,
         )
+
+
+def build_banks(
+    noise_path: Optional[str],
+    rir_path: Optional[str],
+    sr: int = 16000,
+    bank_len: int = 128000,
+    rir_len: int = 8000,
+    max_files: int = 64,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode noise/RIR directories into fixed-shape device banks
+    ([N, bank_len] tiled/cropped noise, [M, rir_len] zero-padded RIRs).
+    Missing paths yield silent single-row banks (augmentation becomes a
+    near-no-op rather than an error)."""
+    from scl_deepfake_audio_detection_tpu.data.augment_registry import (
+        list_audio_files,
+    )
+    from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
+
+    def rows(path, length, tile, empty_row):
+        files = list_audio_files(path)[:max_files] if path else []
+        out = []
+        for f in files:
+            try:
+                w = load_audio(f, sr)
+            except Exception:
+                continue
+            if tile and len(w) < length:
+                w = np.tile(w, length // max(len(w), 1) + 1)
+            row = np.zeros(length, np.float32)
+            row[: min(len(w), length)] = w[:length]
+            out.append(row)
+        if not out:
+            out = [empty_row]
+        return np.stack(out)
+
+    silent = np.zeros(bank_len, np.float32)
+    delta = np.zeros(rir_len, np.float32)
+    delta[0] = 1.0  # identity RIR: missing rir_path degrades to a clean copy
+    return (
+        rows(noise_path, bank_len, True, silent),
+        rows(rir_path, rir_len, False, delta),
+    )

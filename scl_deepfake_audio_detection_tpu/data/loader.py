@@ -103,6 +103,64 @@ class TrainLoader:
             stop.set()
 
 
+class DeviceAugTrainLoader(TrainLoader):
+    """TrainLoader variant for the on-device augmentation path: workers only
+    decode + co-crop (``build_raw``); batches carry raw stacks for
+    ``data/device_pipeline.DeviceViewComposer``.  On a single-core host this
+    is the difference between ~3 items/s (full host DSP) and ~580 items/s
+    (decode only) — the chip runs the augmentations instead.
+    """
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        order = np.arange(len(self.builder))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            ).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards]
+        if self.drop_last:
+            order = order[: len(order) - len(order) % self.groups]
+
+        steps = [order[i : i + self.groups] for i in range(0, len(order), self.groups)]
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for step_idx in steps:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(
+                            lambda i: self.builder.build_raw(int(i), epoch), step_idx
+                        ))
+                        out_q.put({
+                            "utts": [u for u, *_ in items],
+                            "anchors": np.stack([a for _, a, _, _ in items]),
+                            "reals": np.stack([r for _, _, r, _ in items]),
+                            "vocoded": np.stack([v for _, _, _, v in items]),
+                        })
+                out_q.put(None)
+            except BaseException as e:
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
 class EvalLoader:
     """Yields (wav [B, cut], utt_ids) with a fixed batch shape — the final
     short batch is padded up (and the pad rows dropped by the caller via the

@@ -160,6 +160,32 @@ def test_cli_train_eval_analyze(mini_db, mini_config, tmp_path):
     assert os.path.exists(os.path.join(emb_dir, "scores.txt"))
 
 
+def test_cli_train_with_device_aug(mini_db, mini_config, tmp_path):
+    """--device_aug: decode-only host loader + on-chip view composition."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root, utts = mini_db
+    out_dir = str(tmp_path / "out_dev")
+    rc = main([
+        "--config", mini_config,
+        "--database_path", str(root) + "/",
+        "--batch_size", "2",
+        "--num_epochs", "1",
+        "--seed", "9",
+        "--ssl_preset", "tiny",
+        "--num_workers", "2",
+        "--out_dir", out_dir,
+        "--comment", "devaug",
+        "--device_aug",
+    ])
+    assert rc == 0
+    run_dir = os.path.join(out_dir, os.listdir(out_dir)[0])
+    import json
+
+    rec = json.loads(open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()[0])
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
+
+
 def test_tensorboard_scalar_writer(tmp_path):
     from scl_deepfake_audio_detection_tpu.train.tblog import ScalarWriter
 
