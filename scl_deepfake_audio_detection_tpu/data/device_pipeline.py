@@ -54,7 +54,7 @@ def fft_reverb(wav: jnp.ndarray, rir: jnp.ndarray) -> jnp.ndarray:
     reference's ``reverb.py:33-46`` / ``wav_reverb`` FFT path), truncated to
     the input length."""
     t = wav.shape[-1]
-    n = t + rir.shape[-1]
+    n = t + rir.shape[-1]  # minimal linear-conv length (see fft_fir_centered)
     y = jnp.fft.irfft(
         jnp.fft.rfft(wav, n, axis=-1) * jnp.fft.rfft(rir, n, axis=-1), n, axis=-1
     )[..., :t]
@@ -160,7 +160,7 @@ class DeviceViewComposer:
         self.chain_pool = jnp.asarray(np.stack([
             RBJ.pack_chains(RBJ.design_lnl_chains(cfg, fs, self.host_rng), nb)
             for _ in range(pool_size)
-        ]))  # [pool, n_f, NB]
+        ]).astype(np.float32))  # [pool, n_f, NB]
 
     def __call__(self, anchors, reals, vocoded, key):
         g = anchors.shape[0]

