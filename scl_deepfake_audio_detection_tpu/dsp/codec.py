@@ -21,11 +21,9 @@ import os
 import shutil
 import subprocess
 import tempfile
-from typing import Optional
-
 import numpy as np
 
-from scl_deepfake_audio_detection_tpu.dsp.fir import firwin_bandstop, hamming
+from scl_deepfake_audio_detection_tpu.dsp.fir import firwin_bandstop
 
 
 class CodecUnavailable(RuntimeError):

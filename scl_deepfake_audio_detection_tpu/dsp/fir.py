@@ -10,8 +10,6 @@ prototype RawBoost chains (reference ``datautils/RawBoost.py:43``).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

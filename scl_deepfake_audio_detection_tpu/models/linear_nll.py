@@ -12,7 +12,7 @@ CE with SupCon over frames and over embeddings (``:158-192``).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ strides 1/2/2/2) -> conv5 ((num_nodes)x3) -> BN+SELU -> global average pool ->
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

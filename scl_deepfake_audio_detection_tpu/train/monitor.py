@@ -11,7 +11,7 @@ Backed by plain numpy; state round-trips through the framework checkpointer
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ implementation provides for its welford-style updates).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
