@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subset", type=str, default=None)
     p.add_argument("--per_attack", action="store_true", default=False,
                    help="add per-attack EER breakdown to --analyze")
+    p.add_argument("--plot", type=str, default=None,
+                   help="save the score-distribution figure of --analyze here")
     return p
 
 
@@ -144,6 +146,17 @@ def main(argv=None) -> int:
         rep = score_report(args.analyze, args.protocol, fmt=args.score_format,
                            subset=args.subset, per_attack=args.per_attack)
         print(rep)
+        if args.plot:
+            from scl_deepfake_audio_detection_tpu.train.analysis import (
+                matched_scores,
+                plot_score_distributions,
+            )
+
+            tar, non = matched_scores(args.analyze, args.protocol,
+                                      fmt=args.score_format, subset=args.subset)
+            path = plot_score_distributions(tar, non, args.plot,
+                                            threshold=rep.threshold)
+            print(f"score distribution figure -> {path}")
         return 0
 
     import jax

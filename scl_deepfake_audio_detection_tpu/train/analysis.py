@@ -128,3 +128,55 @@ def score_report(
         confusion=confusion_counts(tar_a, non_a, thr),
         per_attack=attack_report,
     )
+
+
+def matched_scores(
+    score_path: str, protocol_path: str, fmt: str = "auto",
+    subset: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(bonafide scores, spoof scores) joined like ``score_report``."""
+    scores = load_scores(score_path, fmt=fmt)
+    trials = parse_protocol(protocol_path)
+    if subset is not None:
+        trials = [t for t in trials if t.subset == subset]
+    by_key = {os.path.basename(u).split(".")[0]: s for u, s in scores.items()}
+    tar, non = [], []
+    for t in trials:
+        if t.label is None:
+            continue
+        s = by_key.get(os.path.basename(t.utt).split(".")[0])
+        if s is not None:
+            (tar if t.label == 1 else non).append(s)
+    return np.asarray(tar), np.asarray(non)
+
+
+def plot_score_distributions(
+    tar: np.ndarray,
+    non: np.ndarray,
+    out_path: str,
+    threshold: Optional[float] = None,
+    bins: int = 80,
+    title: str = "score distributions",
+) -> str:
+    """Bonafide/spoof score histograms + EER threshold marker — the
+    ``Result.ipynb`` distribution plot as a savable figure (headless Agg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    ax.hist(non, bins=bins, alpha=0.6, density=True, label=f"spoof (n={len(non)})")
+    ax.hist(tar, bins=bins, alpha=0.6, density=True,
+            label=f"bonafide (n={len(tar)})")
+    if threshold is not None:
+        ax.axvline(threshold, linestyle="--", linewidth=1,
+                   label=f"EER threshold {threshold:.3f}")
+    ax.set_xlabel("bonafide score")
+    ax.set_ylabel("density")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

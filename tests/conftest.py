@@ -28,6 +28,12 @@ import pytest
 # via jax.config during interpreter startup; config beats env, so re-force it.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# the same tiny-model programs; repeat runs reuse them.
+jax.config.update("jax_compilation_cache_dir", "/tmp/scl_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 REFERENCE = "/root/reference"
 
 

@@ -75,3 +75,22 @@ def test_all_shipped_configs_resolve():
         cfg = load_config(p)
         assert MODELS.get(cfg.model.name)
         assert DATASETS.get(cfg.data.name)
+
+
+@requires_reference
+def test_score_distribution_plot(tmp_path):
+    from scl_deepfake_audio_detection_tpu.train.analysis import (
+        matched_scores,
+        plot_score_distributions,
+    )
+
+    tar, non = matched_scores(
+        "/root/reference/docs/inwild_conf-3.txt",
+        "/root/reference/DATA/in_the_wild/protocol.txt",
+    )
+    assert len(tar) > 1000 and len(non) > 1000
+    out = plot_score_distributions(tar, non, str(tmp_path / "dist.png"),
+                                   threshold=-2.0041)
+    import os
+
+    assert os.path.getsize(out) > 10_000  # a real rendered figure
