@@ -332,7 +332,8 @@ def main(argv=None) -> int:
                 _jax.random.key(args.seed + 77), (epoch + 1) * 1_000_003 + i
             )
             views, labels = composer(
-                raw["anchors"], raw["reals"], raw["vocoded"], key
+                raw["anchors"], raw["reals"], raw["vocoded"], key,
+                spoofs=raw.get("spoofs"), variant=spec.variant,
             )
             yield {"wav": views, "labels": labels, "utts": raw["utts"]}
 

@@ -225,10 +225,10 @@ class SCLViewBatchBuilder:
 
     def build_raw(self, idx: int, epoch: int = 0):
         """Decode-only item for the on-device augmentation path
-        (``data/device_pipeline``): co-cropped raw (anchor [T],
-        additional reals [n_real, T], vocoded [n_voc, T]) with no host DSP —
-        the composer runs RawBoost/noise/reverb on chip.  augall_3-shaped
-        variants only."""
+        (``data/device_pipeline``): dict of co-cropped raw components
+        (anchor [T], additional reals [n_real, T], vocoded [n_voc, T],
+        additional spoofs [n_spoof, T]) with no host DSP — the composer runs
+        RawBoost/noise/reverb on chip for whichever recipe the variant uses."""
         spec = self.spec
         rng = self._rng(idx, epoch)
         utt = self.files[idx]
@@ -239,17 +239,31 @@ class SCLViewBatchBuilder:
                 [i for i in range(len(self.files)) if i != idx],
                 spec.num_additional_real, replace=False,
             )
-        ]
+        ] if spec.num_additional_real else []
         voc = [
             self._load(os.path.join(self.vocoded_dir, f"{v}_{utt}"))
             for v in spec.vocoders
-        ]
+        ] if spec.variant != "scl_normal" else []
+        spoofs = []
+        if spec.num_additional_spoof and self.spoof_list:
+            picks = rng.choice(len(self.spoof_list), spec.num_additional_spoof,
+                               replace=False)
+            spoofs = [
+                self._load(os.path.join(self.spoof_list[i][0], self.spoof_list[i][1]))
+                for i in picks
+            ]
         stack = multiview_pad(
-            [anchor] + reals + voc, spec.trim_length,
+            [anchor] + reals + voc + spoofs, spec.trim_length,
             repeat_pad=spec.repeat_pad, random_trim=True, rng=rng,
         ).astype(np.float32)
-        n_real = len(reals)
-        return utt, stack[0], stack[1 : 1 + n_real], stack[1 + n_real :]
+        nr, nv = len(reals), len(voc)
+        return {
+            "utt": utt,
+            "anchor": stack[0],
+            "reals": stack[1 : 1 + nr],
+            "vocoded": stack[1 + nr : 1 + nr + nv],
+            "spoofs": stack[1 + nr + nv :],
+        }
 
 
 class EvalDataset:

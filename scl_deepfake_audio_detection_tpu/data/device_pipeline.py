@@ -74,57 +74,121 @@ def _random_bank_rows(key, bank: jnp.ndarray, rows: int, length: int):
     )(sel, starts)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _device_augment_all(x, chains, noise_bank, rir_bank, key, cfg):
+    """x [R, T] -> (rawboosted, noisy, reverbed) [R, T] each — the three
+    device-able augmentations applied to every row (one batched program)."""
+    r, t = x.shape
+    k_rb, k_noise, k_snr, k_rir = jax.random.split(key, 4)
+    rb = RBJ.isd_additive_noise(
+        RBJ.lnl_convolutive_noise(x, chains), k_rb, cfg.P, cfg.g_sd
+    )
+    noise = _random_bank_rows(k_noise, noise_bank, r, t)
+    snr = jax.random.uniform(k_snr, (r, 1), minval=5.0, maxval=15.0)
+    noisy = mix_noise_at_snr(x, noise, snr)
+    rirs = _random_bank_rows(k_rir, rir_bank, r, rir_bank.shape[1])
+    reverbed = fft_reverb(x, rirs)
+    return rb, noisy, reverbed
+
+
+def _device_augment_random(x, chains, noise_bank, rir_bank, key, cfg):
+    """Per-row random choice among the three augmentations (the aug_2 /
+    scl_normal 'random method per view' semantics).  All three branches run
+    batched and the per-row result is selected — 3x the augment FLOPs, but
+    fully vectorized (no per-row control flow)."""
+    rb, noisy, reverbed = _device_augment_all(x, chains, noise_bank, rir_bank,
+                                              jax.random.fold_in(key, 0), cfg)
+    choice = jax.random.randint(jax.random.fold_in(key, 1), (x.shape[0], 1), 0, 3)
+    return jnp.where(choice == 0, rb, jnp.where(choice == 1, noisy, reverbed))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "variant"))
 def compose_views(
     anchors: jnp.ndarray,  # [G, T]
     reals: jnp.ndarray,  # [G, n_real, T]
     vocoded: jnp.ndarray,  # [G, n_voc, T]
+    spoofs: jnp.ndarray,  # [G, n_spoof, T] (may be 0-width)
     noise_bank: jnp.ndarray,  # [N, T_bank]  (T_bank >= T)
     rir_bank: jnp.ndarray,  # [M, T_rir]
-    lnl_chains: jnp.ndarray,  # [G*(1+n_voc), n_f, NB] packed notch chains
+    lnl_chains: jnp.ndarray,  # [G*(1+n_voc+n_real+n_spoof), n_f, NB]
     key: jax.Array,
     cfg: RawBoostConfig,
+    variant: str = "augall_3",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (views [G, V, T], labels [G, V]) — the conf-3 composition, on device."""
+    """-> (views [G, V, T], labels [G, V]) on device, per dataset variant
+    (the ``datautils/*`` __getitem__ recipes, SURVEY §2 A11/A12):
+
+    - augall_3 / augall_5: anchor + [rb, noise, reverb](anchor) + reals ||
+      voc + rb(voc) + spoofs
+    - aug_2: anchor + all3(anchor) + reals + rand(reals) || voc + rand(voc)
+    - scl_normal: anchor + all3(anchor) + reals + rand(reals) ||
+      spoofs + rand(spoofs)
+    - xinwang: anchor + all3(anchor) || voc + all3(voc)
+    """
     g, t = anchors.shape
     n_real = reals.shape[1]
     n_voc = vocoded.shape[1]
-    k_rb_a, k_rb_v, k_noise, k_snr, k_rir = jax.random.split(key, 5)
+    n_spoof = spoofs.shape[1]
+    k_a, k_v, k_r, k_s = jax.random.split(key, 4)
 
-    # RawBoost12 on anchor + each vocoded view (one batched call)
-    rb_in = jnp.concatenate([anchors[:, None, :], vocoded], axis=1)  # [G,1+nv,T]
-    flat = rb_in.reshape(g * (1 + n_voc), t)
-    rb = RBJ.isd_additive_noise(
-        RBJ.lnl_convolutive_noise(flat, lnl_chains), k_rb_a, cfg.P, cfg.g_sd
-    ).reshape(g, 1 + n_voc, t)
-    rb_anchor, rb_voc = rb[:, 0], rb[:, 1:]
+    # chain rows per role (host packs them contiguously)
+    c_anchor = lnl_chains[:g]
+    c_voc = lnl_chains[g : g + g * n_voc]
+    c_real = lnl_chains[g + g * n_voc : g + g * n_voc + g * n_real]
+    c_spoof = lnl_chains[g + g * n_voc + g * n_real :]
 
-    # background noise at U(5, 15) dB like the MUSAN augmentor's default
-    noise = _random_bank_rows(k_noise, noise_bank, g, t)
-    snr = jax.random.uniform(k_snr, (g, 1), minval=5.0, maxval=15.0)
-    noisy = mix_noise_at_snr(anchors, noise, snr)
+    rb_a, noisy_a, rev_a = _device_augment_all(
+        anchors, c_anchor, noise_bank, rir_bank, k_a, cfg
+    )
+    aug3_anchor = jnp.stack([rb_a, noisy_a, rev_a], axis=1)  # [G, 3, T]
 
-    # reverb with a random RIR per anchor
-    rirs = _random_bank_rows(k_rir, rir_bank, g, rir_bank.shape[1])
-    reverbed = fft_reverb(anchors, rirs)
+    def flat(x):
+        return x.reshape(-1, t)
 
-    views = jnp.concatenate(
-        [
-            anchors[:, None],
-            rb_anchor[:, None],
-            noisy[:, None],
-            reverbed[:, None],
-            reals,
-            vocoded,
-            rb_voc,
-        ],
-        axis=1,
-    ).astype(jnp.float32)
+    if variant in ("augall_3", "augall_5"):
+        rb_voc = RBJ.isd_additive_noise(
+            RBJ.lnl_convolutive_noise(flat(vocoded), c_voc),
+            k_v, cfg.P, cfg.g_sd,
+        ).reshape(g, n_voc, t)
+        pos = jnp.concatenate([anchors[:, None], aug3_anchor, reals], axis=1)
+        neg = jnp.concatenate([vocoded, rb_voc, spoofs], axis=1)
+    elif variant == "aug_2":
+        rand_real = _device_augment_random(
+            flat(reals), c_real, noise_bank, rir_bank, k_r, cfg
+        ).reshape(g, n_real, t)
+        rand_voc = _device_augment_random(
+            flat(vocoded), c_voc, noise_bank, rir_bank, k_v, cfg
+        ).reshape(g, n_voc, t)
+        pos = jnp.concatenate(
+            [anchors[:, None], aug3_anchor, reals, rand_real], axis=1
+        )
+        neg = jnp.concatenate([vocoded, rand_voc], axis=1)
+    elif variant == "scl_normal":
+        rand_real = _device_augment_random(
+            flat(reals), c_real, noise_bank, rir_bank, k_r, cfg
+        ).reshape(g, n_real, t)
+        rand_spoof = _device_augment_random(
+            flat(spoofs), c_spoof, noise_bank, rir_bank, k_s, cfg
+        ).reshape(g, n_spoof, t)
+        pos = jnp.concatenate(
+            [anchors[:, None], aug3_anchor, reals, rand_real], axis=1
+        )
+        neg = jnp.concatenate([spoofs, rand_spoof], axis=1)
+    elif variant == "xinwang":
+        rb_v, noisy_v, rev_v = _device_augment_all(
+            flat(vocoded), c_voc, noise_bank, rir_bank, k_v, cfg
+        )
+        aug3_voc = jnp.stack([rb_v, noisy_v, rev_v], axis=1).reshape(
+            g, 3 * n_voc, t
+        )
+        pos = jnp.concatenate([anchors[:, None], aug3_anchor], axis=1)
+        neg = jnp.concatenate([vocoded, aug3_voc], axis=1)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+
+    views = jnp.concatenate([pos, neg], axis=1).astype(jnp.float32)
     labels = jnp.concatenate(
-        [
-            jnp.ones((g, 4 + n_real), jnp.float32),
-            jnp.zeros((g, 2 * n_voc), jnp.float32),
-        ],
+        [jnp.ones((g, pos.shape[1]), jnp.float32),
+         jnp.zeros((g, neg.shape[1]), jnp.float32)],
         axis=1,
     )
     return views, labels
@@ -162,14 +226,18 @@ class DeviceViewComposer:
             for _ in range(pool_size)
         ]).astype(np.float32))  # [pool, n_f, NB]
 
-    def __call__(self, anchors, reals, vocoded, key):
+    def __call__(self, anchors, reals, vocoded, key, spoofs=None,
+                 variant: str = "augall_3"):
         g = anchors.shape[0]
-        n_voc = vocoded.shape[1]
-        idx = self.host_rng.integers(self.chain_pool.shape[0], size=g * (1 + n_voc))
+        if spoofs is None:
+            spoofs = np.zeros((g, 0, anchors.shape[1]), np.float32)
+        n_rows = g * (1 + vocoded.shape[1] + reals.shape[1] + spoofs.shape[1])
+        idx = self.host_rng.integers(self.chain_pool.shape[0], size=n_rows)
         chains = self.chain_pool[jnp.asarray(idx)]
         return compose_views(
             jnp.asarray(anchors), jnp.asarray(reals), jnp.asarray(vocoded),
-            self.noise_bank, self.rir_bank, chains, key, self.cfg,
+            jnp.asarray(spoofs), self.noise_bank, self.rir_bank, chains, key,
+            self.cfg, variant,
         )
 
 

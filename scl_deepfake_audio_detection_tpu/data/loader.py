@@ -138,10 +138,11 @@ class DeviceAugTrainLoader(TrainLoader):
                             lambda i: self.builder.build_raw(int(i), epoch), step_idx
                         ))
                         out_q.put({
-                            "utts": [u for u, *_ in items],
-                            "anchors": np.stack([a for _, a, _, _ in items]),
-                            "reals": np.stack([r for _, _, r, _ in items]),
-                            "vocoded": np.stack([v for _, _, _, v in items]),
+                            "utts": [d["utt"] for d in items],
+                            "anchors": np.stack([d["anchor"] for d in items]),
+                            "reals": np.stack([d["reals"] for d in items]),
+                            "vocoded": np.stack([d["vocoded"] for d in items]),
+                            "spoofs": np.stack([d["spoofs"] for d in items]),
                         })
                 out_q.put(None)
             except BaseException as e:

@@ -123,11 +123,12 @@ def test_build_raw_feeds_composer(tmp_path, rng):
     b = SCLViewBatchBuilder(spec, str(root) + "/", utts,
                             AugmentResources(online=True), seed=0)
     items = [b.build_raw(i) for i in range(2)]
-    anchors = np.stack([a for _, a, _, _ in items])
-    reals = np.stack([r for _, _, r, _ in items])
-    voc = np.stack([v for _, _, _, v in items])
+    anchors = np.stack([d["anchor"] for d in items])
+    reals = np.stack([d["reals"] for d in items])
+    voc = np.stack([d["vocoded"] for d in items])
     assert anchors.shape == (2, 4000)
     assert reals.shape == (2, 1, 4000) and voc.shape == (2, 2, 4000)
+    assert items[0]["spoofs"].shape == (0, 4000)
 
     composer = DeviceViewComposer(
         RawBoostConfig(),
@@ -138,3 +139,44 @@ def test_build_raw_feeds_composer(tmp_path, rng):
     views, labels = composer(anchors, reals, voc, jax.random.key(0))
     assert views.shape == (2, 4 + 1 + 2 * 2, 4000)  # 9 views for 2 vocoders
     np.testing.assert_array_equal(np.asarray(labels)[0], [1] * 5 + [0] * 4)
+
+
+@pytest.mark.parametrize("variant,n_views,n_pos", [
+    ("augall_3", 11, 5),       # 1+3+1 pos, 3+3 neg
+    ("augall_5", 12, 5),       # + 1 spoof neg
+    ("aug_2", 12, 6),          # 1+3+1+1 pos, 3+3 neg
+    ("scl_normal", 8, 6),      # 1+3+1+1 pos, 1+1 neg (no vocoded)
+    ("xinwang", 16, 4),        # 1+3 pos, 3+3*3 neg
+])
+def test_compose_views_variants(rng, variant, n_views, n_pos):
+    from scl_deepfake_audio_detection_tpu.data.device_pipeline import compose_views
+    from scl_deepfake_audio_detection_tpu.dsp import rawboost_jax as RBJ
+    import jax.numpy as jnp
+
+    g, t = 2, 3200
+    cfg = RawBoostConfig()
+    n_voc = 0 if variant == "scl_normal" else 3
+    n_real = 0 if variant == "xinwang" else 1
+    n_spoof = 1 if variant in ("augall_5", "scl_normal") else 0
+    anchors = rng.normal(size=(g, t)).astype(np.float32) * 0.3
+    reals = rng.normal(size=(g, n_real, t)).astype(np.float32) * 0.3
+    voc = rng.normal(size=(g, n_voc, t)).astype(np.float32) * 0.3
+    spoofs = rng.normal(size=(g, n_spoof, t)).astype(np.float32) * 0.3
+    rows = g * (1 + n_voc + n_real + n_spoof)
+    chains = jnp.asarray(np.stack([
+        RBJ.pack_chains(RBJ.design_lnl_chains(cfg, 16000, rng), 512)
+        for _ in range(rows)
+    ]).astype(np.float32))
+    views, labels = compose_views(
+        jnp.asarray(anchors), jnp.asarray(reals), jnp.asarray(voc),
+        jnp.asarray(spoofs),
+        jnp.asarray(rng.normal(size=(2, 6400)).astype(np.float32) * 0.1),
+        jnp.asarray(np.eye(2, 200, dtype=np.float32)),
+        chains, jax.random.key(0), cfg, variant,
+    )
+    assert views.shape == (g, n_views, t), (variant, views.shape)
+    labels = np.asarray(labels)
+    assert labels.shape == (g, n_views)
+    np.testing.assert_array_equal(labels[0, :n_pos], 1)
+    np.testing.assert_array_equal(labels[0, n_pos:], 0)
+    assert np.isfinite(np.asarray(views)).all()
