@@ -203,3 +203,45 @@ def test_tensorboard_scalar_writer(tmp_path):
         assert files
     except Exception:
         assert not files
+
+
+def test_cli_eval_only_layout(tmp_path):
+    """The generic eval layout (In-the-Wild / DF21): protocol lines are
+    '<relative path> <subset> <label>' and audio sits at <base>/<path> with
+    no eval/ subdir (reference datautils/eval_only.py)."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root = tmp_path / "itw"
+    os.makedirs(root / "wav")
+    rng = np.random.default_rng(3)
+    with open(root / "protocol.txt", "w") as f:
+        for i in range(4):
+            wav = rng.normal(size=5000).astype(np.float32) * 0.2
+            save_wav(str(root / "wav" / f"{i}.wav"), wav, SR)
+            label = "bonafide" if i % 2 else "spoof"
+            f.write(f"wav/{i}.wav eval {label}\n")
+
+    cfg = tmp_path / "eval_only.yaml"
+    cfg.write_text(
+        "model:\n  name: wav2vec2_linear_nll\n  flag_fix_ssl: false\n"
+        "  contra_mode: 'all'\n  loss_type: 1\n"
+        "data:\n  name: 'eval_only'\n  kwargs: {}\n"
+    )
+    scores = str(tmp_path / "itw_scores.txt")
+    rc = main([
+        "--config", str(cfg),
+        "--database_path", str(root) + "/",
+        "--batch_size", "2",
+        "--eval",
+        "--eval_output", scores,
+        "--ssl_preset", "tiny",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    lines = open(scores).read().strip().splitlines()
+    assert len(lines) == 4
+    assert lines[0].split()[0] == "wav/0.wav"  # utt ids keep the relative path
+
+    rc = main(["--analyze", scores, "--protocol", str(root / "protocol.txt"),
+               "--score_format", "eval"])
+    assert rc == 0
