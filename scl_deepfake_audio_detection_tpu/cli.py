@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_aug", action="store_true", default=False,
                    help="compose view batches on the accelerator (RawBoost/"
                         "noise/reverb as one jit program; host only decodes)")
+    p.add_argument("--warm_cache", action="store_true", default=False,
+                   help="pre-populate the offline augmentation cache for the "
+                        "train+dev lists (needs online_aug: false), then exit")
     # analysis mode (replaces Result.ipynb)
     p.add_argument("--analyze", type=str, default=None, help="score file to analyze")
     p.add_argument("--protocol", type=str, default=None, help="protocol for --analyze")
@@ -177,6 +180,26 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
     cfg.rawboost = _rawboost_from_args(args)
+
+    # --- cache warm-up mode (no model needed) --------------------------------
+    if args.warm_cache:
+        from scl_deepfake_audio_detection_tpu.data.cache_warmup import warm_aug_cache
+
+        spec = spec_from_config(cfg.data.name, cfg.data.kwargs)
+        if spec is None:
+            print("config's dataset is eval-only; nothing to cache", file=sys.stderr)
+            return 2
+        res = resources_from_config(cfg.data.kwargs, cfg.rawboost)
+        for subset in ("train", "dev"):
+            _, files = protocols.gen_list_scl(args.database_path, subset)
+            builder = SCLViewBatchBuilder(
+                spec, args.database_path, files, res, seed=args.seed
+            )
+            stats = warm_aug_cache(builder, num_workers=args.num_workers,
+                                   verbose=True)
+            print(f"{subset}: {stats}")
+        return 0
+
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,

@@ -245,3 +245,42 @@ def test_cli_eval_only_layout(tmp_path):
     rc = main(["--analyze", scores, "--protocol", str(root / "protocol.txt"),
                "--score_format", "eval"])
     assert rc == 0
+
+
+def test_cli_warm_cache(mini_db, tmp_path):
+    """--warm_cache pre-populates the offline aug cache for train+dev and
+    exits without building a model."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root, _ = mini_db
+    aug_dir = tmp_path / "warm_aug"
+    cfg = tmp_path / "offline.yaml"
+    cfg.write_text(f"""
+model:
+  name: wav2vec2_linear_nll
+  flag_fix_ssl: false
+  contra_mode: 'all'
+  loss_type: 1
+data:
+  name: 'asvspoof_2019_augall_3'
+  kwargs:
+    vocoders: ['hifigan']
+    augmentation_methods: ["RawBoost12", "reverb_wrapper"]
+    num_additional_real: 2
+    trim_length: 4000
+    wav_samp_rate: 16000
+    online_aug: false
+    aug_dir: '{aug_dir}'
+    noise_path: '{root}/musan'
+    rir_path: '{root}/rirs'
+""")
+    rc = main([
+        "--config", str(cfg),
+        "--database_path", str(root) + "/",
+        "--warm_cache",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    # train 3 + dev 3 bonafide, each through both methods; vocoded x methods[0]
+    assert len(os.listdir(aug_dir / "RawBoost12")) == 6 + 6
+    assert len(os.listdir(aug_dir / "reverb")) == 6
