@@ -73,13 +73,27 @@ class XLSRConfig:
     compute_dtype: str = "float32"  # 'bfloat16' on TPU for throughput
     attention_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     conv_impl: str = "conv"  # 'conv': lax.conv lowering | 'gemm': explicit
-    # patch+matmul. Measured on v5e (24x64600, bf16): conv 12.7ms vs gemm
-    # 22.6ms — XLA's conv lowering wins; 'gemm' kept for other topologies.
+    # patch+matmul | 'phase': stride-phase decomposition into k accumulated
+    # GEMMs with no patch materialization. Measured on v5e (24x64600, bf16):
+    # conv 9.4-12.7ms, phase 18.8ms, gemm 20.8-22.6ms — XLA's conv lowering
+    # wins (per-layer timing shows convs near roofline; the headroom is in
+    # the LN/GELU epilogues, not the convs).
     scan_unroll: int = 1  # lax.scan unroll factor over encoder layers
+    gelu_impl: str = "auto"  # 'auto' | 'exact' | 'tanh'. 'auto' = tanh under
+    # bf16 compute, exact erf under fp32: the tanh form differs by <= 3e-4
+    # (below bf16 resolution) and runs on the TPU transcendental unit, while
+    # erf lowers to a long VPU polynomial — measured ~7ms of a 46ms forward
+    # at 24x64600 (see ops/layers.gelu)
     fuse_qkv: bool = False  # one [D, 3D] projection instead of three [D, D];
     # measured slower under scan on v5e (51.3 vs 46.9 ms @ 24x64600): the
     # per-step weight concat costs more than the larger GEMM saves
     remat: bool = False  # checkpoint each encoder layer in the bwd pass
+
+    @property
+    def approx_gelu(self) -> bool:
+        if self.gelu_impl == "auto":
+            return jnp.dtype(self.compute_dtype) == jnp.bfloat16
+        return self.gelu_impl == "tanh"
 
     @property
     def head_dim(self) -> int:
@@ -217,6 +231,40 @@ def _strided_conv_gemm(p: Params, x: jnp.ndarray, kernel: int, stride: int,
     return y
 
 
+def _strided_conv_phase(p: Params, x: jnp.ndarray, kernel: int, stride: int,
+                        cdtype) -> jnp.ndarray:
+    """VALID strided conv1d as k accumulated shifted GEMMs.
+
+    y[t] = sum_j x[t*s + j] @ W[j].  Grouping taps by residue j % s turns each
+    tap into a contiguous window of a deinterleaved phase view x[r::s], so the
+    only data movement is s strided slices — no [B, T, K*Cin] patch tensor
+    (the 'gemm' impl's concat traffic is what made it lose to XLA's conv
+    lowering).  Each tap is a [B*T_out, Cin] x [Cin, Cout] MXU matmul; XLA
+    fuses the adds into the dot epilogues.
+    """
+    b, t, cin = x.shape
+    t_out = (t - kernel) // stride + 1
+    if cin == 1:  # degenerate contraction (first layer): patch-GEMM instead
+        return _strided_conv_gemm(p, x, kernel, stride, cdtype)
+    x = x.astype(cdtype)
+    w = p["w"].astype(cdtype)  # [K, Cin, Cout]
+    phases = [x[:, r::stride, :] for r in range(stride)]
+    y = None
+    for j in range(kernel):
+        seg = jax.lax.slice_in_dim(phases[j % stride], j // stride,
+                                   j // stride + t_out, axis=1)
+        term = jnp.einsum("btc,co->bto", seg, w[j],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        y = term if y is None else y + term
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+_CONV_IMPLS = {"conv": None, "gemm": _strided_conv_gemm, "phase": _strided_conv_phase}
+
+
 def feature_encoder(params: Params, cfg: XLSRConfig, wav: jnp.ndarray) -> jnp.ndarray:
     """[B, T_samples] -> [B, T_frames, C]. Conv -> fp32 LN -> exact GELU per
     block (fairseq 'layer_norm' extractor mode)."""
@@ -225,13 +273,14 @@ def feature_encoder(params: Params, cfg: XLSRConfig, wav: jnp.ndarray) -> jnp.nd
     for block, (dim, kernel, stride) in zip(
         params["feature_extractor"]["convs"], cfg.conv_layers
     ):
-        if cfg.conv_impl == "gemm":
-            x = _strided_conv_gemm(block["conv"], x, kernel, stride, cdtype)
+        impl = _CONV_IMPLS[cfg.conv_impl]
+        if impl is not None:
+            x = impl(block["conv"], x, kernel, stride, cdtype)
         else:
             x = conv1d(block["conv"], x, stride=stride, padding="VALID",
                        compute_dtype=cdtype)
         x = layer_norm(block["ln"], x, cfg.layer_norm_eps).astype(cdtype)
-        x = gelu(x)
+        x = gelu(x, cfg.approx_gelu)
     return x
 
 
@@ -250,7 +299,7 @@ def _pos_conv_embed(params: Params, cfg: XLSRConfig, x: jnp.ndarray) -> jnp.ndar
         groups=cfg.pos_conv_groups,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
-    return gelu(y)
+    return gelu(y, cfg.approx_gelu)
 
 
 def _encoder_layer(
@@ -303,7 +352,7 @@ def _encoder_layer(
 
     # feed-forward block
     y = layer_norm(layer["ln_ffn"], x, cfg.layer_norm_eps)
-    y = gelu(linear(layer["fc1"], y, cdtype))
+    y = gelu(linear(layer["fc1"], y, cdtype), cfg.approx_gelu)
     y = dropout(r_act, y, cfg.activation_dropout, deterministic)
     y = linear(layer["fc2"], y, cdtype)
     x = x + dropout(r_res2, y, cfg.dropout, deterministic).astype(x.dtype)

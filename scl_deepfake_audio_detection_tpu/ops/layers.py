@@ -24,9 +24,16 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
-def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU."""
-    return jax.nn.gelu(x, approximate=False)
+def gelu(x: jnp.ndarray, approximate: bool = False) -> jnp.ndarray:
+    """GELU. Exact (erf) by default for fp32 parity with the reference.
+
+    ``approximate=True`` selects the tanh form: on TPU, tanh runs on the
+    hardware transcendental unit while erf lowers to a long polynomial —
+    measured on v5e over [24, 12919, 512] bf16, exact GELU costs +1.5ms over
+    a pure copy and tanh GELU +0.0ms.  The forms differ by <= 3e-4 absolute,
+    below bf16 resolution, so bf16 compute auto-selects tanh (see
+    ``XLSRConfig.gelu_impl``)."""
+    return jax.nn.gelu(x, approximate=approximate)
 
 
 def init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:

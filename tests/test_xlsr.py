@@ -184,3 +184,49 @@ def test_conv_impl_gemm_matches_conv(rng):
     b = np.asarray(X.feature_encoder(params, cfg_c, wav))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_conv_impl_phase_matches_conv(rng):
+    """The stride-phase GEMM decomposition equals the lax.conv lowering,
+    including a k > s overlap case (10/5) with cin > 1."""
+    cfg_p = X.XLSRConfig.tiny(
+        conv_layers=((6, 10, 5), (8, 5, 3), (8, 3, 2), (8, 2, 2)),
+        conv_impl="phase",
+    )
+    cfg_c = cfg_p.with_(conv_impl="conv")
+    params = X.init_xlsr(jax.random.key(0), cfg_p)
+    wav = jnp.asarray(rng.normal(size=(2, 3201)).astype(np.float32))
+    a = np.asarray(X.feature_encoder(params, cfg_p, wav))
+    b = np.asarray(X.feature_encoder(params, cfg_c, wav))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_gelu_impl_dispatch_and_drift(tiny_pair):
+    """'auto' keeps exact erf GELU under fp32 (reference parity) and selects
+    the tanh form under bf16, where the approximation error (<= 3e-4) is
+    below bf16 rounding; an explicit override wins either way."""
+    _, cfg, params = tiny_pair
+    assert not cfg.approx_gelu  # fp32 auto -> exact
+    assert cfg.with_(compute_dtype="bfloat16").approx_gelu
+    assert cfg.with_(gelu_impl="tanh").approx_gelu
+    assert not cfg.with_(compute_dtype="bfloat16", gelu_impl="exact").approx_gelu
+
+    rng = np.random.default_rng(6)
+    wav = jnp.asarray(rng.normal(size=(1, 3200)).astype(np.float32))
+    exact = np.asarray(X.extract_features(params, cfg, wav))
+    tanh = np.asarray(X.extract_features(params, cfg.with_(gelu_impl="tanh"), wav))
+    rel = np.max(np.abs(exact - tanh)) / (np.max(np.abs(exact)) + 1e-9)
+    assert 0 < rel < 5e-3, rel  # differs, but far inside bf16 noise
+
+    bf_exact = np.asarray(
+        X.extract_features(
+            params, cfg.with_(compute_dtype="bfloat16", gelu_impl="exact"), wav
+        )
+    ).astype(np.float32)
+    bf_auto = np.asarray(
+        X.extract_features(params, cfg.with_(compute_dtype="bfloat16"), wav)
+    ).astype(np.float32)
+    # under bf16 the two forms are within the bf16-vs-fp32 drift band
+    rel_bf = np.max(np.abs(bf_exact - bf_auto)) / (np.max(np.abs(bf_exact)) + 1e-9)
+    assert rel_bf < 5e-2, rel_bf
