@@ -30,8 +30,12 @@ def main() -> int:
         ssl = XLSRConfig.tiny()
         batch, samples, iters, warmup = 4, 6460, 3, 1
 
+    from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
+
     model = LinearNLL(ssl=ssl)
     params = model.init(jax.random.key(0))
+    # inference-only: one host-side cast instead of per-call weight converts
+    params = cast_matmul_params(params, ssl.compute_dtype)
 
     @jax.jit
     def score(params, wav, feed):

@@ -268,6 +268,12 @@ def main(argv=None) -> int:
         loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
                             num_workers=args.num_workers)
         out = args.eval_output or "scores.txt"
+        # scoring never updates params: pre-cast matmul weights to the compute
+        # dtype once instead of converting the stacked encoder weights every
+        # call (models/base.cast_matmul_params)
+        from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
+
+        params = cast_matmul_params(params, args.compute_dtype)
         t0 = time.time()
 
         def score_fn(wav):

@@ -19,9 +19,35 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
+
+
+def cast_matmul_params(params: Params, dtype) -> Params:
+    """Pre-cast matmul/conv weights (leaves keyed ``w``) to ``dtype``.
+
+    Every linear/conv op casts its weight to the compute dtype inside the
+    program anyway (``ops/layers.linear``), so for inference this is a pure
+    no-op numerically — but done once on the host it removes the per-call
+    converts of the stacked encoder weights, which XLA can hoist out of the
+    layer scan but not out of the jit call (measured on v5e, XLS-R 300M at
+    24x64600 bf16: 2.8 ms/forward just converting the fp32 fc1/fc2/attn
+    stacks).  Layer-norm scales/biases and linear biases stay fp32: they
+    enter fp32 arithmetic, where a bf16 round trip would lose precision.
+
+    Training must NOT use this — the optimizer needs fp32 master weights.
+    """
+    dtype = jnp.dtype(dtype)
+
+    def f(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "w" and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(f, params)
 
 
 class ModelOutput(NamedTuple):

@@ -224,3 +224,30 @@ def test_aasist_loss_scaled_by_batch(wav, labels):
     want = float(cross_entropy(out.logits, labels)) / 4
     got = float(model.loss(out, labels)["L_CE"])
     assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_cast_matmul_params_is_numerically_free():
+    """Pre-casting matmul weights to the compute dtype must be a numeric
+    no-op for inference (the ops cast weights to the compute dtype inside the
+    program anyway) and must leave LN/bias leaves fp32."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+
+    model = LinearNLL(ssl=XLSRConfig.tiny(compute_dtype="bfloat16"))
+    params = model.init(jax.random.key(0))
+    cast = cast_matmul_params(params, "bfloat16")
+
+    flat = jax.tree_util.tree_leaves_with_path(cast)
+    assert any(l.dtype == jnp.bfloat16 for _, l in flat)
+    for path, leaf in flat:
+        key = getattr(path[-1], "key", None)
+        if key in ("scale", "bias", "b"):
+            assert leaf.dtype == jnp.float32, (path, leaf.dtype)
+
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3210)), jnp.float32)
+    a = model.apply(params, wav, train=False).log_probs
+    b = model.apply(cast, wav, train=False).log_probs
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
