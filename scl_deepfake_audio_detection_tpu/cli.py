@@ -277,6 +277,9 @@ def main(argv=None) -> int:
         t0 = time.time()
 
         def score_fn(wav):
+            # shard the eval batch over the mesh's data axis (replicates when
+            # the batch doesn't divide it, e.g. a ragged final batch)
+            wav = engine.place_batch({"wav": wav})["wav"]
             return engine.score_step(params, buffers, wav)
 
         if args.emb:

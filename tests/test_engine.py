@@ -156,3 +156,37 @@ def test_fit_one_epoch_with_early_stop(tmp_path, engine_state):
     assert len(logs) == 2
     assert (tmp_path / "metrics.jsonl").exists()
     assert all(np.isfinite(r["train_loss"]) for r in logs)
+
+
+def test_sharded_scoring_matches_single_device():
+    """Eval scoring with the batch sharded over the data axis (and TP over
+    'model') must produce the same log-probs as unsharded scoring — the CLI
+    eval path's multi-chip serving contract."""
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.parallel import make_mesh
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+    from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
+
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    wav = np.random.default_rng(0).normal(size=(8, 3200)).astype(np.float32)
+
+    mesh1 = make_mesh((1, 1), devices=jax.devices()[:1])
+    e1 = Engine(model, TrainConfig(), mesh=mesh1)
+    p1, b1, _ = e1.init_state(jax.random.key(0))
+    ref = np.asarray(e1.score_step(p1, b1, e1.place_batch({"wav": wav})["wav"]))
+
+    mesh = make_mesh((4, 2), devices=jax.devices()[:8])
+    eng = Engine(model, TrainConfig(), mesh=mesh)
+    params, buffers, _ = eng.init_state(jax.random.key(0))
+    placed = eng.place_batch({"wav": wav})["wav"]
+    assert len(placed.sharding.device_set) == 8
+    out = np.asarray(eng.score_step(params, buffers, placed))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+
+    # ragged batch (5 doesn't divide 4): replicated fallback, still correct
+    ragged = wav[:5]
+    out5 = np.asarray(
+        eng.score_step(params, buffers, eng.place_batch({"wav": ragged})["wav"])
+    )
+    np.testing.assert_allclose(out5, ref[:5], rtol=2e-5, atol=1e-6)
