@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_aug", action="store_true", default=False,
                    help="compose view batches on the accelerator (RawBoost/"
                         "noise/reverb as one jit program; host only decodes)")
+    p.add_argument("--jax_cache", type=str, default="/tmp/scl_tpu_jax_cache",
+                   help="persistent XLA compilation cache dir ('' disables); "
+                        "repeat CLI runs skip the ~30s first compile")
+    p.add_argument("--wire_dtype", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="eval host->device wire format; int16 halves PCIe/"
+                        "tunnel transfer and is lossless for PCM16 audio")
     p.add_argument("--warm_cache", action="store_true", default=False,
                    help="pre-populate the offline augmentation cache for the "
                         "train+dev lists (needs online_aug: false), then exit")
@@ -163,6 +170,10 @@ def main(argv=None) -> int:
         return 0
 
     import jax
+
+    if args.jax_cache:
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from scl_deepfake_audio_detection_tpu.data import protocols
     from scl_deepfake_audio_detection_tpu.data.datasets import (
@@ -266,7 +277,8 @@ def main(argv=None) -> int:
             use_eval_subdir=desc["eval_subdir"],
         )
         loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
-                            num_workers=args.num_workers)
+                            num_workers=args.num_workers,
+                            wire_dtype=args.wire_dtype)
         out = args.eval_output or "scores.txt"
         # scoring never updates params: pre-cast matmul weights to the compute
         # dtype once instead of converting the stacked encoder weights every
@@ -283,9 +295,15 @@ def main(argv=None) -> int:
             return engine.score_step(params, buffers, wav)
 
         if args.emb:
-            def emb_fn(wav):
-                o = model.apply(params, wav, train=False, buffers=buffers)
+            @jax.jit
+            def _emb_step(p, b, wav):
+                if wav.dtype == jax.numpy.int16:  # PCM16 wire format
+                    wav = wav.astype(jax.numpy.float32) / 32768.0
+                o = model.apply(p, wav, train=False, buffers=b)
                 return o.log_probs, o.emb
+
+            def emb_fn(wav):
+                return _emb_step(params, buffers, wav)
 
             scoring.produce_emb_file(loader, emb_fn, out)
         elif args.predict:

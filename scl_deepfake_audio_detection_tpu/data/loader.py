@@ -174,12 +174,16 @@ class EvalLoader:
         num_workers: int = 4,
         pad_final: bool = True,
         prefetch: int = 2,
+        wire_dtype: str = "float32",
     ):
         self.ds = dataset
         self.bs = batch_size
         self.num_workers = max(1, num_workers)
         self.pad_final = pad_final
         self.prefetch = prefetch
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32 or int16, got {wire_dtype}")
+        self.wire_dtype = wire_dtype
 
     def __len__(self) -> int:
         return -(-len(self.ds) // self.bs)
@@ -208,6 +212,14 @@ class EvalLoader:
                                 (self.bs - len(chunk), wav.shape[1]), wav.dtype
                             )
                             wav = np.concatenate([wav, pad])
+                        if self.wire_dtype == "int16":
+                            # PCM16 wire format: lossless for 16-bit-sourced
+                            # audio (load_audio divides by 32768) and halves
+                            # host->device transfer; the jitted score step
+                            # rescales on device (engine._score_step)
+                            wav = np.clip(
+                                np.round(wav * 32768.0), -32768, 32767
+                            ).astype(np.int16)
                         out_q.put((wav, utts))
                 out_q.put(None)
             except BaseException as e:

@@ -85,6 +85,8 @@ def _eval_step(params, buffers, batch, *, model, loss_scope):
 
 
 def _score_step(params, buffers, wav, *, model):
+    if wav.dtype == jnp.int16:  # PCM16 wire format (EvalLoader wire_dtype)
+        wav = wav.astype(jnp.float32) / 32768.0
     return model.apply(params, wav, train=False, buffers=buffers).log_probs
 
 

@@ -14,6 +14,7 @@ f-string of a float32 — identical tokens to the reference's torch prints.
 from __future__ import annotations
 
 import os
+from collections import deque
 from typing import Callable, Iterable, Optional, Tuple
 
 import numpy as np
@@ -21,6 +22,24 @@ import numpy as np
 
 def _fmt(x: float) -> str:
     return str(float(x))
+
+
+def _pipelined(batches, launch, depth: int = 2):
+    """Keep ``depth`` scoring calls in flight before materializing results.
+
+    ``launch(wav)`` dispatches asynchronously (jax arrays are futures until
+    read); yielding with a lag overlaps the next batch's host->device
+    transfer and compute with the previous batch's device->host readback —
+    per-batch ``np.asarray`` right after the call would serialize the three
+    (the reference's per-batch ``.item()`` stall, ``main.py:174``).
+    """
+    pending = deque()
+    for wav, utts in batches:
+        pending.append((utts, launch(wav)))
+        if len(pending) > depth:
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()
 
 
 def produce_evaluation_file(
@@ -35,8 +54,8 @@ def produce_evaluation_file(
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
     done = 0
     with open(out_path, "w") as f:
-        for wav, utts in batches:
-            lp = np.asarray(score_fn(wav))[: len(utts)]
+        for utts, lp_dev in _pipelined(batches, score_fn):
+            lp = np.asarray(lp_dev)[: len(utts)]
             for utt, row in zip(utts, lp):
                 f.write(f"{utt} {_fmt(row[0])} {_fmt(row[1])}\n")
             done += len(utts)
@@ -55,8 +74,8 @@ def produce_prediction_file(
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
     done = 0
     with open(out_path, "w") as f:
-        for wav, utts in batches:
-            lp = np.asarray(score_fn(wav))[: len(utts)]
+        for utts, lp_dev in _pipelined(batches, score_fn):
+            lp = np.asarray(lp_dev)[: len(utts)]
             pred = np.argmax(lp, axis=-1)
             for utt, row, p in zip(utts, lp, pred):
                 f.write(f"{utt} {_fmt(row[1])} {int(p)}\n")
@@ -120,8 +139,7 @@ def produce_emb_file(
     os.makedirs(out_dir, exist_ok=True)
     done = 0
     with open(os.path.join(out_dir, "scores.txt"), "w") as f:
-        for wav, utts in batches:
-            lp, emb = emb_fn(wav)
+        for utts, (lp, emb) in _pipelined(batches, emb_fn):
             lp, emb = np.asarray(lp)[: len(utts)], np.asarray(emb)[: len(utts)]
             for utt, row, e in zip(utts, lp, emb):
                 base = os.path.splitext(os.path.basename(utt))[0]

@@ -85,3 +85,58 @@ def test_score_long_audio_chunks_and_averages():
     short = np.ones(300, np.float32)
     out2 = score_long_audio(short, fake_score, window=window, batch=4)
     assert out2[0] == pytest.approx(1.0, rel=1e-6)  # tile-padded, mean stays 1
+
+
+def test_pipelined_preserves_order(tmp_path):
+    """The depth-2 in-flight scoring queue must not reorder or drop batches."""
+    from scl_deepfake_audio_detection_tpu.train.scoring import _pipelined
+
+    batches = [(np.full((2, 4), i, np.float32), [f"u{2*i}", f"u{2*i+1}"])
+               for i in range(7)]
+    launched = []
+
+    def launch(wav):
+        launched.append(float(wav[0, 0]))
+        return wav[:, :1]
+
+    got = list(_pipelined(iter(batches), launch))
+    assert [u for us, _ in got for u in us] == [f"u{i}" for i in range(14)]
+    assert launched == [float(i) for i in range(7)]  # all dispatched, in order
+    # lag: by the time batch 0 is yielded, batches 0..2 were already launched
+    assert len(got) == 7
+
+
+def test_int16_wire_format_lossless(tmp_path):
+    """PCM16 wire format through EvalLoader + engine scoring must equal the
+    float32 path bit-for-bit for PCM16-sourced audio."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.data.datasets import EvalDataset
+    from scl_deepfake_audio_detection_tpu.data.loader import EvalLoader
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+    from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+    root = tmp_path / "db"
+    (root / "eval").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    utts = [f"u{i}.wav" for i in range(5)]
+    for u in utts:
+        save_wav(str(root / "eval" / u),
+                 (rng.normal(size=4000) * 0.2).astype(np.float32), 16000)
+
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    eng = Engine(model)
+    params, buffers, _ = eng.init_state(jax.random.key(0))
+
+    def run(wire):
+        ds = EvalDataset(utts, str(root), cut=3200)
+        loader = EvalLoader(ds, batch_size=2, num_workers=1, wire_dtype=wire)
+        outs = []
+        for wav, us in loader:
+            assert wav.dtype == (np.int16 if wire == "int16" else np.float32)
+            outs.append(np.asarray(eng.score_step(params, buffers, wav))[: len(us)])
+        return np.concatenate(outs)
+
+    np.testing.assert_array_equal(run("float32"), run("int16"))
