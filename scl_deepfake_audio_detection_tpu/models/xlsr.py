@@ -88,6 +88,13 @@ class XLSRConfig:
     # measured slower under scan on v5e (51.3 vs 46.9 ms @ 24x64600): the
     # per-step weight concat costs more than the larger GEMM saves
     remat: bool = False  # checkpoint each encoder layer in the bwd pass
+    remat_policy: str = "full"  # 'full': recompute everything per layer |
+    # 'dots': save MXU dot outputs, recompute only elementwise/LN/softmax
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).  Measured
+    # at 2x11x64000 on v5e: full 155ms/step, dots 167ms (extra HBM traffic
+    # for the saved GEMM outputs beats the recompute it avoids); no-remat
+    # OOMs (17.1G > 15.75G HBM).  'full' stays the default; 'dots' is for
+    # shapes where the backward is GEMM-recompute-bound.
 
     @property
     def approx_gelu(self) -> bool:
@@ -387,7 +394,13 @@ def transformer_encoder(
         return _encoder_layer(layer, cfg, carry, kv_len, r, deterministic), None
 
     if cfg.remat:
-        body = jax.checkpoint(body)
+        if cfg.remat_policy == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            body = jax.checkpoint(body)
 
     scanned = {"layer": stacked}
     if rngs is not None:

@@ -230,3 +230,17 @@ def test_gelu_impl_dispatch_and_drift(tiny_pair):
     # under bf16 the two forms are within the bf16-vs-fp32 drift band
     rel_bf = np.max(np.abs(bf_exact - bf_auto)) / (np.max(np.abs(bf_exact)) + 1e-9)
     assert rel_bf < 5e-2, rel_bf
+
+
+def test_remat_policy_dots_matches(tiny_pair):
+    """'dots' checkpoint policy must not change forward values or break
+    gradients (it only changes what the backward saves vs recomputes)."""
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.normal(size=(1, 1600)).astype(np.float32))
+    cfg_d = cfg.with_(remat=True, remat_policy="dots")
+    a = X.extract_features(params, cfg, wav)
+    b = X.extract_features(params, cfg_d, wav)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    g = jax.grad(lambda p: jnp.sum(X.extract_features(p, cfg_d, wav) ** 2))(params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
