@@ -6,13 +6,16 @@ bandpass via torchaudio's ffmpeg AudioEffector — flagged unstable in its own
 ``__init__.py:6``) and the codec round-trip ``wav_codec``
 (``core_scripts/data_io/wav_augmentation.py:367-456``: mp3/opus via pydub).
 
-This environment ships neither ffmpeg nor torchaudio, so:
+No ffmpeg *binary* or torchaudio can be assumed, so:
 - ALAW / ULAW are implemented natively (ITU-T G.711 reference math on
   int16 PCM) — bit-exact companding round trips, no external process;
-- the telephone effect = bandpass FIR (300-3400 Hz default) + companding
-  round trip, all numpy;
-- mp3/opus round-trips dispatch to an ``ffmpeg`` binary when one exists and
-  raise ``CodecUnavailable`` otherwise (callers treat them as optional).
+- the telephone effect = bandpass FIR (300-3400 Hz default) + codec round
+  trip: real G.722 (ADPCM) through the native codec module when available,
+  else G.711 companding, all in-process;
+- mp3/opus round-trips run through the native codec module (the ffmpeg
+  *libraries* linked directly — ``native/scl_codec.cpp``), falling back to
+  an ``ffmpeg`` binary when only that exists, and raise ``CodecUnavailable``
+  otherwise (callers treat them as optional).
 """
 
 from __future__ import annotations
@@ -129,6 +132,29 @@ def bandpass_fir(
     return y[d : d + len(x)].astype(np.float32)
 
 
+# ffmpeg's adpcm_g722 QMF analysis+synthesis delay at 16 kHz (measured; the
+# raw WAV container carries no gapless metadata to trim it automatically)
+_G722_DELAY = 22
+
+
+def g722_roundtrip(x: np.ndarray, sr: int = 16000) -> np.ndarray:
+    """Real G.722 (ADPCM) encode/decode via the native codec module; the
+    codec is specified at 16 kHz only. Raises CodecUnavailable otherwise."""
+    from scl_deepfake_audio_detection_tpu import native
+
+    if sr != 16000 or not native.codec_available() or not native.encoder_available("g722"):
+        raise CodecUnavailable("g722 needs the native codec module at 16 kHz")
+    with tempfile.TemporaryDirectory() as d:
+        mid = os.path.join(d, "mid.wav")
+        native.encode_audio(mid, x, sr, "g722")
+        y, _ = native.read_audio(mid)
+    y = y[_G722_DELAY:]
+    out = np.zeros(len(x), np.float32)
+    n = min(len(x), len(y))
+    out[:n] = y[:n]
+    return out
+
+
 def telephone_effect(
     x: np.ndarray,
     sr: int = 16000,
@@ -136,13 +162,16 @@ def telephone_effect(
     low: float = 300.0,
     high: float = 3400.0,
 ) -> np.ndarray:
-    """Bandpass to telephone bandwidth, then a companding round trip
-    (capability equivalent of TelephoneEncodingAugmentor)."""
+    """Bandpass to telephone bandwidth, then a codec round trip (capability
+    equivalent of TelephoneEncodingAugmentor: alaw / ulaw / g722)."""
     y = bandpass_fir(x, sr, low, high)
     if encoding.lower() in ("g722",):
-        # no native g722; the audible effect of its ADPCM stage is approximated
-        # by mu-law quantization at telephone bandwidth
-        encoding = "ulaw"
+        try:
+            return g722_roundtrip(y, sr)
+        except CodecUnavailable:
+            # without the native module, approximate the ADPCM stage by
+            # mu-law quantization at telephone bandwidth
+            encoding = "ulaw"
     return g711_roundtrip(y, encoding)
 
 
@@ -158,6 +187,11 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def _parse_bitrate(bitrate: str) -> int:
+    s = str(bitrate).strip().lower()
+    return int(float(s[:-1]) * 1000) if s.endswith("k") else int(float(s))
+
+
 def codec_roundtrip(
     x: np.ndarray,
     sr: int = 16000,
@@ -165,27 +199,48 @@ def codec_roundtrip(
     bitrate: str = "64k",
 ) -> np.ndarray:
     """Encode/decode through a real lossy codec (reference ``wav_codec``,
-    ``wav_augmentation.py:367-456``). Requires an ffmpeg binary; raises
-    CodecUnavailable otherwise so callers can fall back to G.711."""
-    if not ffmpeg_available():
-        raise CodecUnavailable("no ffmpeg binary on PATH")
-    from scl_deepfake_audio_detection_tpu.utils.audio_io import read_wav, write_wav
+    ``wav_augmentation.py:367-456``). Uses the native codec module (ffmpeg
+    libraries linked in-process) when available, else an ffmpeg binary;
+    raises CodecUnavailable otherwise so callers can fall back to G.711.
+    Gapless metadata is honored, so the output is sample-aligned with the
+    input (zero-padded/truncated to the same length)."""
+    from scl_deepfake_audio_detection_tpu import native
 
     ext = {"mp3": "mp3", "opus": "opus"}[codec]
-    with tempfile.TemporaryDirectory() as d:
-        src = os.path.join(d, "in.wav")
-        mid = os.path.join(d, f"mid.{ext}")
-        out = os.path.join(d, "out.wav")
-        write_wav(src, x, sr)
-        subprocess.run(
-            ["ffmpeg", "-y", "-loglevel", "quiet", "-i", src, "-b:a", bitrate, mid],
-            check=True,
+    if native.codec_available() and native.encoder_available(codec):
+        from scl_deepfake_audio_detection_tpu.utils.audio_io import resample
+
+        with tempfile.TemporaryDirectory() as d:
+            mid = os.path.join(d, f"mid.{ext}")
+            native.encode_audio(mid, x, sr, codec, _parse_bitrate(bitrate))
+            y, mid_sr = native.read_audio(mid)
+        y = resample(y, mid_sr, sr)  # opus decodes at 48 kHz
+    elif ffmpeg_available():
+        from scl_deepfake_audio_detection_tpu.utils.audio_io import (
+            load_audio,
+            save_wav,
         )
-        subprocess.run(
-            ["ffmpeg", "-y", "-loglevel", "quiet", "-i", mid, "-ar", str(sr), out],
-            check=True,
+
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "in.wav")
+            mid = os.path.join(d, f"mid.{ext}")
+            out = os.path.join(d, "out.wav")
+            save_wav(src, x, sr)
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "quiet", "-i", src, "-b:a",
+                 bitrate, mid],
+                check=True,
+            )
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "quiet", "-i", mid, "-ar",
+                 str(sr), out],
+                check=True,
+            )
+            y = load_audio(out, sr)
+    else:
+        raise CodecUnavailable(
+            "no native codec module and no ffmpeg binary on PATH"
         )
-        y, _ = read_wav(out)
     n = min(len(x), len(y))
     res = np.zeros_like(x, dtype=np.float32)
     res[:n] = y[:n]
@@ -194,7 +249,7 @@ def codec_roundtrip(
 
 def random_codec(x: np.ndarray, rng: np.random.Generator, sr: int = 16000) -> np.ndarray:
     """Random mp3/opus round trip like the reference's wav_codec; falls back
-    to a random G.711 law when ffmpeg is absent (this image has none)."""
+    to a random G.711 law when no codec backend exists at all."""
     try:
         if rng.integers(2) == 0:
             return codec_roundtrip(x, sr, "mp3", MP3_BITRATES[rng.integers(6)])

@@ -24,10 +24,14 @@ import numpy as np
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "native", "scl_host.cpp")
 _SO = os.path.join(_ROOT, "native", "libscl_host.so")
+_SRC_CODEC = os.path.join(_ROOT, "native", "scl_codec.cpp")
+_SO_CODEC = os.path.join(_ROOT, "native", "libscl_codec.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_codec_lib: Optional[ctypes.CDLL] = None
+_codec_tried = False
 
 
 def _build() -> bool:
@@ -85,6 +89,111 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# codec library (native/scl_codec.cpp — ffmpeg libraries, separate .so so the
+# dependency-free DSP library stays usable when libav* is absent)
+# ---------------------------------------------------------------------------
+
+
+def _build_codec() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             "-o", _SO_CODEC, _SRC_CODEC,
+             "-lavformat", "-lavcodec", "-lavutil"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load_codec() -> Optional[ctypes.CDLL]:
+    global _codec_lib, _codec_tried
+    with _lock:
+        if _codec_lib is not None or _codec_tried:
+            return _codec_lib
+        _codec_tried = True
+        if not os.path.exists(_SO_CODEC) or os.path.getmtime(
+            _SO_CODEC
+        ) < os.path.getmtime(_SRC_CODEC):
+            if not _build_codec():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_CODEC)
+        except OSError:
+            return None
+        if lib.scl_codec_abi_version() != 1:
+            return None
+        c_fp = ctypes.POINTER(ctypes.c_float)
+        lib.scl_codec_last_error.restype = ctypes.c_char_p
+        lib.scl_codec_encoder_available.argtypes = [ctypes.c_char_p]
+        lib.scl_audio_open.restype = ctypes.c_void_p
+        lib.scl_audio_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.scl_audio_copy.argtypes = [ctypes.c_void_p, c_fp]
+        lib.scl_audio_close.argtypes = [ctypes.c_void_p]
+        lib.scl_audio_encode.restype = ctypes.c_int
+        lib.scl_audio_encode.argtypes = [
+            ctypes.c_char_p, c_fp, ctypes.c_long, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_long,
+        ]
+        _codec_lib = lib
+        return _codec_lib
+
+
+def codec_available() -> bool:
+    """True when the libav*-backed decode/encode module is usable."""
+    return _load_codec() is not None
+
+
+def encoder_available(codec: str) -> bool:
+    lib = _load_codec()
+    return bool(lib) and lib.scl_codec_encoder_available(codec.encode()) == 1
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Decode ANY audio file (flac/mp3/ogg/opus/wav/...) to mono float32 at
+    its native sample rate via libavformat/libavcodec."""
+    lib = _load_codec()
+    if lib is None:
+        raise RuntimeError("native codec library unavailable")
+    n = ctypes.c_long(0)
+    sr = ctypes.c_int(0)
+    handle = lib.scl_audio_open(path.encode(), ctypes.byref(n), ctypes.byref(sr))
+    if not handle:
+        raise ValueError(
+            f"cannot decode {path}: {lib.scl_codec_last_error().decode()}"
+        )
+    try:
+        out = np.empty(n.value, np.float32)
+        lib.scl_audio_copy(handle, _fptr(out))
+    finally:
+        lib.scl_audio_close(handle)
+    return out, int(sr.value)
+
+
+def encode_audio(
+    path: str, x: np.ndarray, sr: int, codec: str, bitrate: int = 0
+) -> None:
+    """Encode mono float32 to ``path`` (container from extension: .mp3, .opus,
+    .flac, .wav for alaw/ulaw/g722). bitrate in bits/s, 0 = codec default."""
+    lib = _load_codec()
+    if lib is None:
+        raise RuntimeError("native codec library unavailable")
+    xf = np.ascontiguousarray(x, np.float32)
+    ret = lib.scl_audio_encode(
+        path.encode(), _fptr(xf), len(xf), int(sr), codec.encode(), int(bitrate)
+    )
+    if ret != 0:
+        raise ValueError(
+            f"encode to {path} failed ({codec}): "
+            f"{lib.scl_codec_last_error().decode()}"
+        )
 
 
 def _fptr(a: np.ndarray):

@@ -77,26 +77,33 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 def load_audio(path: str, sr: int = 16000) -> np.ndarray:
     """Mono float32 at ``sr`` (librosa.load-compatible behavior).
 
-    Decode order: native C reader (PCM16/float32 WAV, ``native.py``) ->
-    soundfile (when installed; handles flac/ogg) -> stdlib wave fallback.
+    Decode order: native C WAV reader (PCM16/float32, ``native.py``) ->
+    native libav* codec module (flac/mp3/ogg/opus/... — the LA19 eval set
+    ships .flac) -> soundfile (when installed) -> stdlib wave fallback.
     """
-    ext = os.path.splitext(path)[1].lower()
-    if ext == ".wav":
-        from scl_deepfake_audio_detection_tpu import native
+    from scl_deepfake_audio_detection_tpu import native
 
-        if native.available():
-            try:
-                data, file_sr = native.read_wav(path)
-                return resample(data, file_sr, sr)
-            except ValueError:
-                pass  # exotic subtype: fall through to the python readers
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav" and native.available():
+        try:
+            data, file_sr = native.read_wav(path)
+            return resample(data, file_sr, sr)
+        except ValueError:
+            pass  # exotic subtype: fall through to the generic decoders
+    if native.codec_available():
+        try:
+            data, file_sr = native.read_audio(path)
+            return resample(data, file_sr, sr)
+        except ValueError:
+            pass  # unreadable by libav*: fall through
     if _sf is not None:
         data, file_sr = _sf.read(path, dtype="float32", always_2d=True)
         data = data.mean(axis=1)
     else:
         if ext != ".wav":
             raise RuntimeError(
-                f"cannot decode {ext!r} without the optional soundfile backend: {path}"
+                f"cannot decode {ext!r}: needs the native codec module "
+                f"(libavformat/libavcodec) or soundfile: {path}"
             )
         data, file_sr = _read_wav_numpy(path)
     return resample(np.asarray(data, np.float32), file_sr, sr)
