@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="anchor groups per train step (default: batch_size)")
     p.add_argument("--mesh", type=str, default=None, help="mesh shape, e.g. 8,1")
     p.add_argument("--loss_scope", type=str, default="group", choices=["group", "global"])
+    p.add_argument("--zero1", action="store_true", default=False,
+                   help="shard AdamW moments over the data axis (ZeRO-1)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--ssl_checkpoint", type=str, default=None,
                    help="pretrained SSL: fairseq xlsr2_300m.pt or HF model dir")
@@ -225,6 +227,7 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
         mesh_shape=[int(x) for x in args.mesh.split(",")] if args.mesh else None,
         loss_scope=args.loss_scope,
+        zero1=args.zero1,
     )
 
     model = _build_model(args, cfg)

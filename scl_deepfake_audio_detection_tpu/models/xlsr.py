@@ -27,6 +27,7 @@ from dataclasses import dataclass, field, replace
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from scl_deepfake_audio_detection_tpu.ops.attention import self_attention
@@ -88,13 +89,21 @@ class XLSRConfig:
     # measured slower under scan on v5e (51.3 vs 46.9 ms @ 24x64600): the
     # per-step weight concat costs more than the larger GEMM saves
     remat: bool = False  # checkpoint each encoder layer in the bwd pass
-    remat_policy: str = "full"  # 'full': recompute everything per layer |
+    remat_policy: str = "attn_ffn"  # 'full': recompute everything per layer |
     # 'dots': save MXU dot outputs, recompute only elementwise/LN/softmax
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).  Measured
     # at 2x11x64000 on v5e: full 155ms/step, dots 167ms (extra HBM traffic
     # for the saved GEMM outputs beats the recompute it avoids); no-remat
-    # OOMs (17.1G > 15.75G HBM).  'full' stays the default; 'dots' is for
-    # shapes where the backward is GEMM-recompute-bound.
+    # OOMs (17.1G > 15.75G HBM).
+    # 'attn' / 'attn_ffn': save only the named attn-out / +gelu activations
+    # (everything else recomputed).  Measured at 2x11x64000 on v5e:
+    # full 153ms/step, attn 152ms (wash), attn_ffn 146ms — attn_ffn (save
+    # attn-out + the gelu activation, recompute the rest) is the default.
+    remat_tail_full: int = 0  # keep the last K layers un-rematted (their
+    # internals stay live; backward hits them first).  Measured at
+    # 2x11x64000 with attn_ffn: K=4 *regresses* to 153ms (the stored tail
+    # internals raise HBM pressure and the split scan compiles to a slower
+    # schedule); 0 stays the default — knob kept for shapes with headroom.
 
     @property
     def approx_gelu(self) -> bool:
@@ -355,11 +364,14 @@ def _encoder_layer(
         attn = dropout(r_attn, attn, cfg.attention_dropout, deterministic)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
     attn = linear(layer["attn"]["o"], attn, cdtype)
+    # named for the selective remat policies ('attn' / 'attn_ffn')
+    attn = jax.ad_checkpoint.checkpoint_name(attn, "attn_out")
     x = x + dropout(r_res1, attn, cfg.dropout, deterministic).astype(x.dtype)
 
     # feed-forward block
     y = layer_norm(layer["ln_ffn"], x, cfg.layer_norm_eps)
     y = gelu(linear(layer["fc1"], y, cdtype), cfg.approx_gelu)
+    y = jax.ad_checkpoint.checkpoint_name(y, "ffn_act")
     y = dropout(r_act, y, cfg.activation_dropout, deterministic)
     y = linear(layer["fc2"], y, cdtype)
     x = x + dropout(r_res2, y, cfg.dropout, deterministic).astype(x.dtype)
@@ -393,19 +405,37 @@ def transformer_encoder(
         r = scanned["rng"] if rngs is not None else None
         return _encoder_layer(layer, cfg, carry, kv_len, r, deterministic), None
 
+    rematted = body
     if cfg.remat:
         if cfg.remat_policy == "dots":
-            body = jax.checkpoint(
+            rematted = jax.checkpoint(
                 body,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
+        elif cfg.remat_policy in ("attn", "attn_ffn"):
+            names = ("attn_out",) if cfg.remat_policy == "attn" else (
+                "attn_out", "ffn_act")
+            rematted = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
+            )
         else:
-            body = jax.checkpoint(body)
+            rematted = jax.checkpoint(body)
 
-    scanned = {"layer": stacked}
-    if rngs is not None:
-        scanned["rng"] = rngs
-    x, _ = jax.lax.scan(body, x, scanned, unroll=cfg.scan_unroll)
+    def scan_layers(fn, x, lo, hi):
+        scanned = {"layer": jax.tree.map(lambda a: a[lo:hi], stacked)}
+        if rngs is not None:
+            scanned["rng"] = rngs[lo:hi]
+        x, _ = jax.lax.scan(fn, x, scanned, unroll=cfg.scan_unroll)
+        return x
+
+    # optionally keep the last remat_tail_full layers un-rematted: their
+    # backward starts first, so excluding them trims the recompute forward
+    # where HBM headroom allows (each saved layer holds its internals live)
+    tail = min(cfg.remat_tail_full, num_layers) if cfg.remat else 0
+    x = scan_layers(rematted, x, 0, num_layers - tail)
+    if tail:
+        x = scan_layers(body, x, num_layers - tail, num_layers)
     return layer_norm(params["encoder"]["final_ln"], x, cfg.layer_norm_eps)
 
 

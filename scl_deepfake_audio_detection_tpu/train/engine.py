@@ -134,6 +134,17 @@ class Engine:
         buffers = buffers if buffers is not None else model_buffers(self.model)
         buffers = shard_params(buffers, self.mesh)
         opt_state = self.optimizer.init(params)
+        if getattr(self.cfg, "zero1", False):
+            from scl_deepfake_audio_detection_tpu.parallel.mesh import (
+                _ZERO1_MIN_SIZE,
+                shard_opt_state,
+            )
+
+            opt_state = shard_opt_state(
+                opt_state,
+                self.mesh,
+                getattr(self.cfg, "zero1_min_size", _ZERO1_MIN_SIZE),
+            )
         return params, buffers, opt_state
 
     def place_batch(self, batch):

@@ -126,6 +126,10 @@ class TrainConfig:
     grad_clip_norm: Optional[float] = None  # global-norm clip (NII arg_parse
     # --grad-clip-norm capability; reference active path never clips)
     grad_accum_steps: int = 1  # optax.MultiSteps microbatching
+    zero1: bool = False  # ZeRO-1: shard AdamW moments over the data axis
+    # (parallel.mesh.shard_opt_state); identical numerics, 1/N optimizer
+    # memory per chip on an N-wide data axis
+    zero1_min_size: int = 1 << 16  # leaves below this stay replicated
     check_numerics: bool = False  # per-step host NaN guard (syncs every step;
     # off by default — epoch-end aggregation catches NaNs once per epoch free)
 

@@ -190,3 +190,106 @@ def test_sharded_scoring_matches_single_device():
         eng.score_step(params, buffers, eng.place_batch({"wav": ragged})["wav"])
     )
     np.testing.assert_allclose(out5, ref[:5], rtol=2e-5, atol=1e-6)
+
+
+def test_zero1_opt_sharding_parity():
+    """ZeRO-1 (AdamW moments sharded over the data axis) must train the same
+    trajectory as the replicated optimizer.  The update math is elementwise,
+    but re-sharding the opt state gives XLA a different program to fuse, so
+    fp32 reduction orders in the backward shift by ~1e-6 relative and Adam's
+    m̂/√v̂ amplifies that at early steps — compare the parameter *updates*
+    with a tolerance far below any real sharding bug (a miscounted shard
+    would shift updates at the 100% scale, not percents)."""
+    model = LinearNLL(ssl=XLSRConfig.tiny(ffn_dim=512), emb_dim=16)
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, groups=8)
+
+    results = {}
+    init_params = None
+    for zero1 in (False, True):
+        cfg = TrainConfig(max_lr=1e-4, zero1=zero1, zero1_min_size=1024)
+        eng = Engine(model, cfg, mesh=mesh)
+        params, buffers, opt_state = eng.init_state(jax.random.key(0))
+        opt_state = set_learning_rate(opt_state, 1e-4)
+        if init_params is None:
+            init_params = jax.tree.map(np.asarray, params)
+        if zero1:
+            sharded = [
+                leaf
+                for leaf in jax.tree.leaves(opt_state)
+                if isinstance(
+                    getattr(leaf, "sharding", None), jax.sharding.NamedSharding
+                )
+                and "data" in (leaf.sharding.spec or ())
+            ]
+            assert sharded, "no moment leaf got data-sharded"
+            # each chip really holds a fraction of the sharded leaves
+            big = max(sharded, key=lambda a: a.size)
+            shard_sz = big.addressable_shards[0].data.size
+            assert shard_sz * 8 == big.size
+        placed = eng.place_batch(batch)
+        losses = []
+        for i in range(3):
+            params, buffers, opt_state, m = eng.train_step(
+                params, buffers, opt_state, placed, jax.random.key(i)
+            )
+            losses.append(float(m["loss"]))
+        results[zero1] = (losses, jax.tree.map(np.asarray, params))
+
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-5)
+    deltas = [
+        (a - p0, b - p0)
+        for a, b, p0 in zip(
+            jax.tree.leaves(results[False][1]),
+            jax.tree.leaves(results[True][1]),
+            jax.tree.leaves(init_params),
+        )
+    ]
+    # tolerance scales with the *global* update magnitude (~3 steps of lr):
+    # near-dead leaves see O(10%) relative jitter from Adam's m̂/√v̂ at g≈0,
+    # but a real sharding bug moves active leaves at their full update scale
+    scale = max(float(np.abs(da).max()) for da, _ in deltas)
+    for da, db in deltas:
+        assert float(np.abs(da - db).max()) < 0.1 * scale
+
+
+def test_global_scope_sharded_matches_single_device():
+    """'global' loss scope computes SupCon over the full logical batch; under
+    data sharding the pairwise-similarity matrix spans devices, so XLA must
+    all-gather the embeddings (SURVEY §5 last row).  One sharded step must
+    match the same step on one device."""
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    rng = np.random.default_rng(7)
+    batch = _batch(rng, groups=8)
+
+    outs = {}
+    init_params = None
+    for name, mesh in (
+        ("single", make_mesh((1, 1), devices=jax.devices()[:1])),
+        ("sharded", make_mesh((8, 1))),
+    ):
+        eng = Engine(model, TrainConfig(max_lr=1e-4, loss_scope="global"), mesh=mesh)
+        params, buffers, opt_state = eng.init_state(jax.random.key(0))
+        opt_state = set_learning_rate(opt_state, 1e-4)
+        if init_params is None:
+            init_params = jax.tree.map(np.asarray, params)
+        p, b, o, m = eng.train_step(
+            params, buffers, opt_state, eng.place_batch(batch), jax.random.key(1)
+        )
+        outs[name] = (float(m["loss"]), jax.tree.map(np.asarray, p))
+
+    assert abs(outs["single"][0] - outs["sharded"][0]) < 1e-5
+    # compare updates, not raw params: Adam's first step is m̂/√v̂ ≈ sign(g),
+    # so reduction-order rounding in g flips near-zero elements by O(lr)
+    deltas = [
+        (a - p0, b - p0)
+        for a, b, p0 in zip(
+            jax.tree.leaves(outs["single"][1]),
+            jax.tree.leaves(outs["sharded"][1]),
+            jax.tree.leaves(init_params),
+        )
+    ]
+    scale = max(float(np.abs(da).max()) for da, _ in deltas)
+    for da, db in deltas:
+        assert float(np.abs(da - db).max()) < 0.1 * scale
