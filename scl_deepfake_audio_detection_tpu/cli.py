@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_scope", type=str, default="group", choices=["group", "global"])
     p.add_argument("--zero1", action="store_true", default=False,
                    help="shard AdamW moments over the data axis (ZeRO-1)")
+    p.add_argument("--decode_cache", type=str, default=None,
+                   help="dir for the packed eval decode cache (PCM16 memmap; "
+                        "built on first eval run, reused by later sweeps)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--ssl_checkpoint", type=str, default=None,
                    help="pretrained SSL: fairseq xlsr2_300m.pt or HF model dir")
@@ -279,6 +282,10 @@ def main(argv=None) -> int:
             padding_type=args.padding_type,
             use_eval_subdir=desc["eval_subdir"],
         )
+        if args.decode_cache:
+            # first run decodes+packs once; checkpoint sweeps after that read
+            # memmap slices and stay chip-bound even for flac inputs
+            ds.warm_decode_cache(args.decode_cache, num_workers=args.num_workers)
         loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
                             num_workers=args.num_workers,
                             wire_dtype=args.wire_dtype)

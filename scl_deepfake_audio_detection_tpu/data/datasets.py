@@ -279,20 +279,48 @@ class EvalDataset:
         cut: int = 64600,
         use_eval_subdir: bool = True,
         sample_rate: int = 16000,
+        decode_cache=None,
     ):
+        """``decode_cache``: optional ``data.decode_cache.DecodeCache`` —
+        utts found there are read as memmap slices instead of decoded (flac
+        decode is the host bound on repeat eval runs); misses fall back to
+        ``load_audio``."""
         self.files = list(file_list)
         self.base_dir = os.path.join(base_dir, "eval") if use_eval_subdir else base_dir
         self.padding_type = padding_type
         self.cut = cut
         self.sample_rate = sample_rate
+        self.decode_cache = decode_cache
 
     def __len__(self) -> int:
         return len(self.files)
 
     def get(self, idx: int) -> Tuple[np.ndarray, str]:
         utt = self.files[idx]
-        wav = load_audio(os.path.join(self.base_dir, utt), self.sample_rate)
+        if self.decode_cache is not None and self.decode_cache.has(utt):
+            wav = self.decode_cache.get(utt)
+        else:
+            wav = load_audio(os.path.join(self.base_dir, utt), self.sample_rate)
         return pad_eval(wav, self.padding_type, self.cut).astype(np.float32), utt
+
+    def warm_decode_cache(self, cache_dir: str, num_workers: int = 4):
+        """Build (or open) the packed decode cache for this dataset's files
+        and attach it."""
+        from scl_deepfake_audio_detection_tpu.data.decode_cache import DecodeCache
+
+        cache = DecodeCache(cache_dir)
+        if not cache.ready or not all(cache.has(u) for u in self.files):
+            cache = DecodeCache.build(
+                cache_dir,
+                self.files,
+                lambda u: load_audio(
+                    os.path.join(self.base_dir, u), self.sample_rate
+                ),
+                sample_rate=self.sample_rate,
+                num_workers=num_workers,
+            )
+        self.decode_cache = cache
+        return cache
 
 
 # ---------------------------------------------------------------------------
