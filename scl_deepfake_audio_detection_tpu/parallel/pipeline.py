@@ -82,6 +82,17 @@ def pipeline_apply(
     staged = _stage_slices(stacked, num_stages)
     xs = x.reshape(m, b // m, *x.shape[1:])
 
+    # a layer stack is shape/dtype-stable layer-to-layer by construction, but
+    # the *output* dtype may differ from the input's (e.g. fp32 wav into a
+    # bf16 residual stream) — probe it so the carry/result buffers match
+    probe = jax.eval_shape(
+        layer_fn,
+        jax.ShapeDtypeStruct((b // m, *x.shape[1:]), x.dtype),
+        jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), stacked
+        ),
+    )
+
     # params: stage-sharded on the leading axis; input/output replicated
     # (each stage needs arbitrary microbatches at warmup; B is small relative
     # to params in the regimes where pipelining matters)
@@ -98,7 +109,6 @@ def pipeline_apply(
         # leading axis with size 1) -> drop it
         local_layers = jax.tree.map(lambda a: a[0], local_stage)
         stage = jax.lax.axis_index(axis)
-        mb_shape = xs.shape[1:]
 
         def stage_compute(act):
             return jax.lax.scan(
@@ -112,7 +122,7 @@ def pipeline_apply(
             # stage 0 ingests microbatch t (clamped during drain ticks — the
             # extra compute is masked garbage), others take the handoff
             inp = jnp.where(
-                stage == 0, xs[jnp.clip(t, 0, m - 1)], state
+                stage == 0, xs[jnp.clip(t, 0, m - 1)].astype(state.dtype), state
             )
             out = stage_compute(inp)
             # stage S-1 finished microbatch t-(S-1) at this tick
@@ -128,8 +138,8 @@ def pipeline_apply(
         # mark the uniform zeros as axis-varying for shard_map's type system
         init = jax.lax.pcast(
             (
-                jnp.zeros(mb_shape, x.dtype),
-                jnp.zeros((m, *mb_shape), x.dtype),
+                jnp.zeros(probe.shape, probe.dtype),
+                jnp.zeros((m, *probe.shape), probe.dtype),
             ),
             (axis,),
             to="varying",
@@ -144,4 +154,4 @@ def pipeline_apply(
         )
 
     ys = run(staged, xs)
-    return ys.reshape(b, *x.shape[1:])
+    return ys.reshape(b, *probe.shape[1:])

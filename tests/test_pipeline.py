@@ -105,3 +105,26 @@ def test_pipeline_rejects_bad_shapes(stacked, x):
     bad = jax.tree.map(lambda a: a[:6], stacked)  # 6 layers over 4 stages
     with pytest.raises(ValueError, match="not divisible"):
         pipeline_apply(_layer_fn, bad, x, mesh)
+
+
+def test_pipeline_dtype_changing_stack(stacked, x):
+    """A stack whose residual stream runs in bf16 (fp32 wav in, bf16 out —
+    the XLSR compute-dtype pattern) pipelines correctly: carry buffers take
+    the probed output dtype."""
+    mesh = make_mesh((4,), axis_names=("pipe",), devices=jax.devices()[:4])
+
+    def bf16_layer(c, layer):
+        return _layer_fn(c.astype(jnp.bfloat16), jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), layer)).astype(jnp.bfloat16)
+
+    # plain scan needs the cast OUTSIDE (carry must be type-stable); the
+    # pipeline probes the output dtype and ingests with a cast instead
+    ref = jax.lax.scan(
+        lambda c, l: (bf16_layer(c, l), None), x.astype(jnp.bfloat16), stacked
+    )[0]
+    out = pipeline_apply(bf16_layer, stacked, x, mesh, axis="pipe")
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )

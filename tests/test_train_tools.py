@@ -167,3 +167,22 @@ def test_grad_clip_bounds_update_norm():
     # adam normalizes, but the clipped grads are tiny -> update dominated by
     # weight decay + epsilon-scaled term; just assert it stays bounded
     assert np.abs(np.asarray(updates["w"])).max() < 2.0
+
+
+def test_trace_epoch_writes_profile(tmp_path):
+    """The profiling hook (NII nn_manager_profile capability) captures a
+    jax.profiler trace around arbitrary device work; no-op when disabled."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from scl_deepfake_audio_detection_tpu.train.tblog import trace_epoch
+
+    logdir = str(tmp_path / "prof")
+    with trace_epoch(logdir):
+        x = jnp.ones((32, 32))
+        (x @ x).block_until_ready()
+    assert glob.glob(logdir + "/**/*.trace.json.gz", recursive=True)
+
+    with trace_epoch(None):  # disabled: no-op
+        pass
