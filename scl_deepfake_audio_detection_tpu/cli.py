@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode_cache", type=str, default=None,
                    help="dir for the packed eval decode cache (PCM16 memmap; "
                         "built on first eval run, reused by later sweeps)")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="TPU pod mode: jax.distributed.initialize(); train "
+                        "shards loader streams per process over the global "
+                        "mesh, eval splits the file list and writes "
+                        "<out>.part<k> per host")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--ssl_checkpoint", type=str, default=None,
                    help="pretrained SSL: fairseq xlsr2_300m.pt or HF model dir")
@@ -176,6 +181,16 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.multihost:
+        # TPU pod: one process per host; coordinator/address come from the
+        # TPU environment (jax.distributed reads them automatically)
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-host invocation: run unsharded
+            print(f"--multihost: no cluster detected ({e}); continuing "
+                  "as a single process", file=sys.stderr)
+    pidx, pcnt = jax.process_index(), jax.process_count()
+
     if args.jax_cache:
         jax.config.update("jax_compilation_cache_dir", args.jax_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -234,7 +249,15 @@ def main(argv=None) -> int:
     )
 
     model = _build_model(args, cfg)
-    engine = Engine(model, train_cfg)
+    mesh = None
+    if args.multihost and args.eval:
+        # eval is embarrassingly parallel: each host scores its slice of the
+        # file list on its OWN chips (no cross-host collectives to schedule)
+        from scl_deepfake_audio_detection_tpu.parallel import make_mesh
+
+        local = jax.local_devices()
+        mesh = make_mesh((len(local), 1), devices=local)
+    engine = Engine(model, train_cfg, mesh=mesh)
     rng_key = jax.random.key(args.seed)
 
     params = _init_params(args, model, rng_key)
@@ -275,6 +298,8 @@ def main(argv=None) -> int:
             _, file_eval = protocols.gen_list_eval_only(args.database_path)
         else:
             _, file_eval = protocols.gen_list_scl(args.database_path, "eval")
+        if pcnt > 1:  # per-host slice; merge with `cat out.part*` afterwards
+            file_eval = file_eval[pidx::pcnt]
         print(f"no. of eval trials {len(file_eval)}")
         ds = EvalDataset(
             file_eval,
@@ -290,6 +315,8 @@ def main(argv=None) -> int:
                             num_workers=args.num_workers,
                             wire_dtype=args.wire_dtype)
         out = args.eval_output or "scores.txt"
+        if pcnt > 1:
+            out = f"{out}.part{pidx}"
         # scoring never updates params: pre-cast matmul weights to the compute
         # dtype once instead of converting the stacked encoder weights every
         # call (models/base.cast_matmul_params)
@@ -367,19 +394,26 @@ def main(argv=None) -> int:
               f"rir bank {rir_bank.shape}")
         train_loader = DeviceAugTrainLoader(train_builder, groups, shuffle=True,
                                             num_workers=args.num_workers,
-                                            seed=args.seed)
+                                            seed=args.seed,
+                                            shard_index=pidx, num_shards=pcnt)
         dev_loader = DeviceAugTrainLoader(dev_builder, groups, shuffle=False,
                                           drop_last=False,
                                           num_workers=args.num_workers,
-                                          seed=args.seed)
+                                          seed=args.seed,
+                                          shard_index=pidx, num_shards=pcnt)
     else:
         train_loader = TrainLoader(train_builder, groups, shuffle=True,
-                                   num_workers=args.num_workers, seed=args.seed)
+                                   num_workers=args.num_workers, seed=args.seed,
+                                   shard_index=pidx, num_shards=pcnt)
         dev_loader = TrainLoader(dev_builder, groups, shuffle=False, drop_last=False,
-                                 num_workers=args.num_workers, seed=args.seed)
+                                 num_workers=args.num_workers, seed=args.seed,
+                                 shard_index=pidx, num_shards=pcnt)
 
-    save_dir = os.path.join(args.out_dir, train_cfg.model_tag())
-    os.makedirs(save_dir, exist_ok=True)
+    # non-zero processes train the same global step but leave checkpoint /
+    # metrics writing to process 0 (shared-filesystem pods would race)
+    save_dir = os.path.join(args.out_dir, train_cfg.model_tag()) if pidx == 0 else None
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
     print(f"model tag: {train_cfg.model_tag()}")
 
     epoch_counter = {"n": train_cfg.start_epoch}
@@ -427,7 +461,10 @@ def main(argv=None) -> int:
         rng_key=rng_key,
         save_dir=save_dir,
         log_fn=log_fn,
-        tensorboard_dir=args.tensorboard_dir or os.path.join(save_dir, "logs"),
+        tensorboard_dir=(
+            args.tensorboard_dir
+            or (os.path.join(save_dir, "logs") if save_dir else None)
+        ),
         profile_dir=args.profile_dir,
     )
     print(f"Total training time: {time.time() - t0}s")

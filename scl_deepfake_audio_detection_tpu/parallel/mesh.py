@@ -172,12 +172,28 @@ def shard_batch(batch, mesh: Mesh):
     replicated instead — e.g. the reference's default ``batch_size=1`` on a
     multi-device host trains without data parallelism rather than erroring
     (one group is one loss unit; it can't split).
+
+    Multi-host: when the mesh spans processes (a TPU pod — each process sees
+    only its addressable chips), every process passes its *local* shard of
+    the batch (disjoint loader streams, ``data/loader.py`` shard_index) and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data``.
     """
     data_size = mesh.shape.get("data", 1)
+    multiproc = jax.process_count() > 1
 
     def place(x):
         if not hasattr(x, "ndim"):  # utt-id lists ride along untouched
             return x
+        if multiproc:
+            # local leading dim must divide the *local* slice of the data
+            # axis; global shape is inferred from the sharding
+            local_data = max(1, data_size // jax.process_count())
+            if x.ndim > 0 and x.shape[0] % local_data == 0:
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, batch_pspec(x.ndim)), x
+                )
+            return jax.device_put(x, NamedSharding(mesh, P()))
         divisible = x.ndim > 0 and x.shape[0] % data_size == 0
         spec = batch_pspec(x.ndim) if divisible else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
