@@ -79,9 +79,10 @@ bool mixdown_frame(const AVFrame* fr, std::vector<float>* out) {
                2147483648.0f;
       case AV_SAMPLE_FMT_S64:
       case AV_SAMPLE_FMT_S64P:
+        // NB: (int64)1 << 63 would overflow; use the literal 2^63
         return static_cast<float>(
             reinterpret_cast<const int64_t*>(base)[idx] /
-            static_cast<double>(INT64_C(1) << 63));
+            9223372036854775808.0);
       case AV_SAMPLE_FMT_FLT:
       case AV_SAMPLE_FMT_FLTP:
         return reinterpret_cast<const float*>(base)[idx];

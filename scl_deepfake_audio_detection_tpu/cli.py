@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode_cache", type=str, default=None,
                    help="dir for the packed eval decode cache (PCM16 memmap; "
                         "built on first eval run, reused by later sweeps)")
+    p.add_argument("--serve", action="store_true", default=False,
+                   help="persistent scorer: read wav paths (or 'id\\tpath') "
+                        "from stdin, write 'id\\tscore' lines; one warm "
+                        "compiled program, no per-request startup cost")
     p.add_argument("--multihost", action="store_true", default=False,
                    help="TPU pod mode: jax.distributed.initialize(); train "
                         "shards loader streams per process over the global "
@@ -292,6 +296,37 @@ def main(argv=None) -> int:
 
     desc = DATASETS.get(cfg.data.name)
 
+    # --- serve mode: persistent scorer, wav paths on stdin ---------------------
+    if args.serve:
+        from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
+        from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
+        from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
+
+        params = cast_matmul_params(params, args.compute_dtype)
+        cut = 64600  # the reference eval crop; one compiled program
+
+        def score_one(path: str) -> float:
+            wav = pad_eval(load_audio(path), args.padding_type, cut)
+            lp = engine.score_step(
+                params, buffers, jax.numpy.asarray(wav[None].astype("float32"))
+            )
+            return float(lp[0, 1])  # bonafide log-prob (reference score col)
+
+        print("serve: one '<wav-path>' or '<id>\\t<wav-path>' per line; "
+              "replies '<id-or-path>\\t<score>' (first reply compiles, "
+              "~20-40s; warm after)", file=sys.stderr)
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            key, _, path = line.rpartition("\t")
+            key = key or path
+            try:
+                print(f"{key}\t{score_one(path):.6f}", flush=True)
+            except Exception as e:
+                print(f"{key}\tERROR {e}", flush=True)
+        return 0
+
     # --- eval/scoring mode ----------------------------------------------------
     if args.eval:
         if desc["variant"] is None:
@@ -309,8 +344,15 @@ def main(argv=None) -> int:
         )
         if args.decode_cache:
             # first run decodes+packs once; checkpoint sweeps after that read
-            # memmap slices and stay chip-bound even for flac inputs
-            ds.warm_decode_cache(args.decode_cache, num_workers=args.num_workers)
+            # memmap slices and stay chip-bound even for flac inputs.
+            # Multi-host: each process caches ITS file-list slice in its own
+            # subdir — a shared dir would have all hosts racing the same
+            # pcm16.bin on a shared filesystem
+            cache_dir = (
+                os.path.join(args.decode_cache, f"part{pidx}")
+                if pcnt > 1 else args.decode_cache
+            )
+            ds.warm_decode_cache(cache_dir, num_workers=args.num_workers)
         loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
                             num_workers=args.num_workers,
                             wire_dtype=args.wire_dtype)

@@ -309,13 +309,21 @@ class EvalDataset:
         from scl_deepfake_audio_detection_tpu.data.decode_cache import DecodeCache
 
         cache = DecodeCache(cache_dir)
-        if not cache.ready or not all(cache.has(u) for u in self.files):
+        reusable = cache.ready and cache.sample_rate == self.sample_rate
+        if not reusable or not all(cache.has(u) for u in self.files):
+            old = cache if reusable else None
+
+            def load(u):
+                # incremental rebuild: hits read from the old memmap instead
+                # of re-decoding the whole set for one new file
+                if old is not None and old.has(u):
+                    return old.get(u)
+                return load_audio(os.path.join(self.base_dir, u), self.sample_rate)
+
             cache = DecodeCache.build(
                 cache_dir,
                 self.files,
-                lambda u: load_audio(
-                    os.path.join(self.base_dir, u), self.sample_rate
-                ),
+                load,
                 sample_rate=self.sample_rate,
                 num_workers=num_workers,
             )

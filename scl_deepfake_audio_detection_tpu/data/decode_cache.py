@@ -36,12 +36,21 @@ class DecodeCache:
         self._index: Optional[dict] = None
         self._mm: Optional[np.memmap] = None
         idx_path = os.path.join(cache_dir, _INDEX)
-        if os.path.exists(idx_path):
+        bin_path = os.path.join(cache_dir, _BIN)
+        if os.path.exists(idx_path) and os.path.exists(bin_path):
             with open(idx_path) as f:
-                self._index = json.load(f)
-            self._mm = np.memmap(
-                os.path.join(cache_dir, _BIN), dtype="<i2", mode="r"
+                index = json.load(f)
+            mm = np.memmap(bin_path, dtype="<i2", mode="r")
+            # the two files commit separately (tmp+rename each); a kill
+            # between the renames can pair a new bin with a stale index —
+            # only trust the pair when the index spans the bin exactly
+            end = max(
+                (off + length for off, length in index["utts"].values()),
+                default=0,
             )
+            if end == mm.size:
+                self._index = index
+                self._mm = mm
 
     @property
     def ready(self) -> bool:

@@ -55,16 +55,26 @@ class TrainLoader:
         n = len(self.builder) // self.num_shards
         return n // self.groups if self.drop_last else -(-n // self.groups)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        """Seeded global order -> this process's slice, trimmed so every
+        process sees the SAME number of steps.  Unequal per-host step counts
+        would desync global-mesh collectives (host k runs a train_step its
+        peers never join -> the pod deadlocks), so the stride slice is cut to
+        the common floor(N / num_shards) length."""
         order = np.arange(len(self.builder))
         if self.shuffle:
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, epoch])
             ).shuffle(order)
         if self.num_shards > 1:
-            order = order[self.shard_index :: self.num_shards]
+            common = len(order) // self.num_shards
+            order = order[self.shard_index :: self.num_shards][:common]
         if self.drop_last:
             order = order[: len(order) - len(order) % self.groups]
+        return order
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        order = self._epoch_order(epoch)
 
         steps = [order[i : i + self.groups] for i in range(0, len(order), self.groups)]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -112,15 +122,7 @@ class DeviceAugTrainLoader(TrainLoader):
     """
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
-        order = np.arange(len(self.builder))
-        if self.shuffle:
-            np.random.default_rng(
-                np.random.SeedSequence([self.seed, epoch])
-            ).shuffle(order)
-        if self.num_shards > 1:
-            order = order[self.shard_index :: self.num_shards]
-        if self.drop_last:
-            order = order[: len(order) - len(order) % self.groups]
+        order = self._epoch_order(epoch)
 
         steps = [order[i : i + self.groups] for i in range(0, len(order), self.groups)]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -144,10 +144,14 @@ def g722_roundtrip(x: np.ndarray, sr: int = 16000) -> np.ndarray:
 
     if sr != 16000 or not native.codec_available() or not native.encoder_available("g722"):
         raise CodecUnavailable("g722 needs the native codec module at 16 kHz")
-    with tempfile.TemporaryDirectory() as d:
-        mid = os.path.join(d, "mid.wav")
-        native.encode_audio(mid, x, sr, "g722")
-        y, _ = native.read_audio(mid)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            mid = os.path.join(d, "mid.wav")
+            native.encode_audio(mid, x, sr, "g722")
+            y, _ = native.read_audio(mid)
+    except (ValueError, RuntimeError) as e:
+        # callers contract on CodecUnavailable to fall back (e.g. to G.711)
+        raise CodecUnavailable(f"native g722 round trip failed: {e}") from e
     y = y[_G722_DELAY:]
     out = np.zeros(len(x), np.float32)
     n = min(len(x), len(y))
@@ -210,10 +214,15 @@ def codec_roundtrip(
     if native.codec_available() and native.encoder_available(codec):
         from scl_deepfake_audio_detection_tpu.utils.audio_io import resample
 
-        with tempfile.TemporaryDirectory() as d:
-            mid = os.path.join(d, f"mid.{ext}")
-            native.encode_audio(mid, x, sr, codec, _parse_bitrate(bitrate))
-            y, mid_sr = native.read_audio(mid)
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                mid = os.path.join(d, f"mid.{ext}")
+                native.encode_audio(mid, x, sr, codec, _parse_bitrate(bitrate))
+                y, mid_sr = native.read_audio(mid)
+        except (ValueError, RuntimeError) as e:
+            # e.g. an encoder that exists but rejects this sample rate —
+            # callers contract on CodecUnavailable to fall back to G.711
+            raise CodecUnavailable(f"native {codec} round trip failed: {e}") from e
         y = resample(y, mid_sr, sr)  # opus decodes at 48 kHz
     elif ffmpeg_available():
         from scl_deepfake_audio_detection_tpu.utils.audio_io import (

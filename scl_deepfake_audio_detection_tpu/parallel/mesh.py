@@ -115,7 +115,8 @@ _ZERO1_MIN_SIZE = 1 << 16  # below this a leaf stays replicated (bias vectors,
 
 
 def zero1_pspec(leaf, data_size: int, min_size: int = _ZERO1_MIN_SIZE) -> P:
-    """PartitionSpec sharding ``leaf``'s largest divisible axis over 'data'.
+    """PartitionSpec sharding ``leaf``'s largest divisible free axis over
+    'data', composed with any existing sharding.
 
     ZeRO stage 1: the AdamW first/second-moment pytrees mirror the params,
     which are *replicated* over the data axis — so each chip can own 1/N of
@@ -124,20 +125,25 @@ def zero1_pspec(leaf, data_size: int, min_size: int = _ZERO1_MIN_SIZE) -> P:
     next layer's math by the scheduler).  Cuts optimizer memory from 2x
     params to 2x/N params per chip at the 300M scale.
 
-    Leaves already tensor-parallel over 'model' keep that axis; the 'data'
-    shard goes on a *different* axis when one divides, so the two shardings
-    compose.
+    Leaves already tensor-parallel over 'model' (moments inherit the param
+    sharding from ``optimizer.init``) keep that axis; the 'data' shard goes
+    on a *different* axis when one divides, so the two shardings compose.
     """
+    prior = (
+        tuple(leaf.sharding.spec) + (None,) * (leaf.ndim - len(leaf.sharding.spec))
+        if isinstance(getattr(leaf, "sharding", None), NamedSharding)
+        else (None,) * getattr(leaf, "ndim", 0)
+    )
     if not hasattr(leaf, "ndim") or leaf.ndim == 0 or leaf.size < min_size:
-        return P()
-    axes: list = [None] * leaf.ndim
-    # largest axis divisible by the data-axis size wins
+        return P(*prior) if any(a is not None for a in prior) else P()
+    axes = list(prior)
+    # largest still-unsharded axis divisible by the data-axis size wins
     order = sorted(range(leaf.ndim), key=lambda i: -leaf.shape[i])
     for i in order:
-        if leaf.shape[i] % data_size == 0:
+        if axes[i] is None and leaf.shape[i] % data_size == 0:
             axes[i] = "data"
             return P(*axes)
-    return P()
+    return P(*axes) if any(a is not None for a in axes) else P()
 
 
 def shard_opt_state(opt_state, mesh: Mesh, min_size: int = _ZERO1_MIN_SIZE):
@@ -149,12 +155,9 @@ def shard_opt_state(opt_state, mesh: Mesh, min_size: int = _ZERO1_MIN_SIZE):
     (pinned by tests/test_engine.py's parity test)."""
     data_size = mesh.shape.get("data", 1)
     if data_size == 1:
-        return jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P()))
-            if hasattr(x, "ndim")
-            else x,
-            opt_state,
-        )
+        # nothing to shard over — keep whatever placement optimizer.init
+        # gave the moments (they inherit the params' TP sharding)
+        return opt_state
     return jax.tree.map(
         lambda x: jax.device_put(
             x, NamedSharding(mesh, zero1_pspec(x, data_size, min_size))
@@ -193,7 +196,14 @@ def shard_batch(batch, mesh: Mesh):
                 return jax.make_array_from_process_local_data(
                     NamedSharding(mesh, batch_pspec(x.ndim)), x
                 )
-            return jax.device_put(x, NamedSharding(mesh, P()))
+            # replication is NOT a safe fallback here: each process holds a
+            # different loader shard, so "replicating" would hand every host
+            # different data under the same global array -> silent divergence
+            raise ValueError(
+                f"multi-host batch leading dim {x.shape[:1]} must be a "
+                f"multiple of the per-process data-axis slice ({local_data}); "
+                "adjust --groups_per_step / batch size"
+            )
         divisible = x.ndim > 0 and x.shape[0] % data_size == 0
         spec = batch_pspec(x.ndim) if divisible else P()
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -284,3 +284,33 @@ data:
     # train 3 + dev 3 bonafide, each through both methods; vocoded x methods[0]
     assert len(os.listdir(aug_dir / "RawBoost12")) == 6 + 6
     assert len(os.listdir(aug_dir / "reverb")) == 6
+
+
+def test_cli_serve_mode(tmp_path, monkeypatch):
+    """--serve: persistent scorer over stdin/stdout (one warm program)."""
+    import io
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.wav")
+        save_wav(p, (rng.normal(size=5000) * 0.2).astype(np.float32), SR)
+        paths.append(p)
+
+    lines = [paths[0], f"req-1\t{paths[1]}", f"req-2\t{paths[2]}",
+             "req-3\t/nonexistent.wav"]
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    import sys as _sys
+
+    out = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", out)
+    rc = main(["--serve", "--ssl_preset", "tiny",
+               "--config", "configs/conf-3-linear.yaml"])
+    assert rc == 0
+    replies = [l.split("\t") for l in out.getvalue().strip().splitlines()]
+    assert [r[0] for r in replies] == [paths[0], "req-1", "req-2", "req-3"]
+    for r in replies[:3]:
+        float(r[1])  # numeric score
+    assert replies[3][1].startswith("ERROR")

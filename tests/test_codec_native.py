@@ -154,3 +154,21 @@ def test_decode_error_reports_path(tmp_path):
     bad.write_bytes(b"this is not a flac file")
     with pytest.raises(ValueError, match="not_audio.flac"):
         native.read_audio(str(bad))
+
+
+def test_native_encode_failure_translates_to_codec_unavailable(wav, monkeypatch, rng):
+    """Callers contract on CodecUnavailable for fallback; a native encoder
+    that exists but rejects the request (e.g. sample rate) must not leak
+    ValueError through codec_roundtrip / random_codec."""
+    from scl_deepfake_audio_detection_tpu.dsp import codec as C
+
+    def boom(*a, **kw):
+        raise ValueError("encoder rejected input")
+
+    monkeypatch.setattr(native, "encode_audio", boom)
+    with pytest.raises(C.CodecUnavailable):
+        C.codec_roundtrip(wav, SR, "mp3", "64k")
+    y = C.random_codec(wav, rng, SR)  # falls back to G.711, never raises
+    assert y.shape == wav.shape
+    y2 = C.telephone_effect(wav, SR, encoding="g722")  # falls back to ulaw
+    assert y2.shape == wav.shape

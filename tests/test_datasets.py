@@ -188,7 +188,11 @@ def test_spec_from_config_reference_yaml():
 
 
 def test_train_loader_multihost_shards_disjoint(db):
-    """Process shards draw disjoint, seed-stable slices of one global order."""
+    """Process shards draw disjoint, seed-stable, EQUAL-LENGTH slices of one
+    global order.  Equal step counts are load-bearing: an extra step on some
+    hosts would desync global-mesh collectives (pod deadlock), so up to
+    num_shards-1 tail items are dropped per epoch (the seeded shuffle
+    rotates which ones across epochs)."""
     root, utts = db
     spec = spec_from_config("asvspoof_2019_augall_3",
                             dict(vocoders=VOCODERS[:1], augmentation_methods=[],
@@ -203,7 +207,8 @@ def test_train_loader_multihost_shards_disjoint(db):
         [batch["utts"][0] for batch in ld.epoch(0)] for ld in loaders
     ]
     assert not (set(seen[0]) & set(seen[1]))  # disjoint
-    assert sorted(seen[0] + seen[1]) == sorted(utts)  # complete
+    assert len(seen[0]) == len(seen[1]) == len(utts) // 2  # equal steps
+    assert set(seen[0] + seen[1]) <= set(utts)
     # deterministic across re-iteration
     again = [batch["utts"][0] for batch in loaders[0].epoch(0)]
     assert again == seen[0]

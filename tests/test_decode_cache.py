@@ -98,3 +98,48 @@ def test_interrupted_build_leaves_no_cache(eval_dir, tmp_path):
     ds = EvalDataset(utts, base)
     cache = ds.warm_decode_cache(cdir)
     assert cache.ready and len(cache) == len(utts)
+
+
+def test_stale_index_bin_pair_rejected(eval_dir, tmp_path):
+    """A kill between the bin and index renames can pair a new bin with a
+    stale index; the opener must reject the pair instead of serving wrong
+    offsets."""
+    base, utts = eval_dir
+    cdir = str(tmp_path / "cache")
+    EvalDataset(utts, base).warm_decode_cache(cdir)
+    # simulate: bin grows (new build committed) but index stayed old
+    with open(os.path.join(cdir, "pcm16.bin"), "ab") as f:
+        f.write(b"\x00\x00" * 100)
+    assert not DecodeCache(cdir).ready
+
+
+def test_sample_rate_mismatch_triggers_rebuild(eval_dir, tmp_path):
+    base, utts = eval_dir
+    cdir = str(tmp_path / "cache")
+    EvalDataset(utts, base, sample_rate=16000).warm_decode_cache(cdir)
+    ds8k = EvalDataset(utts, base, sample_rate=8000, cut=32300)
+    cache = ds8k.warm_decode_cache(cdir)
+    assert cache.sample_rate == 8000
+
+
+def test_incremental_rebuild_reuses_old_cache(eval_dir, tmp_path, rng, monkeypatch):
+    """One new file must not re-decode the whole set — hits read from the
+    old memmap."""
+    import scl_deepfake_audio_detection_tpu.data.datasets as D
+
+    base, utts = eval_dir
+    cdir = str(tmp_path / "cache")
+    EvalDataset(utts, base).warm_decode_cache(cdir)
+
+    new = (rng.normal(size=4000) * 0.2).astype(np.float32)
+    save_wav(os.path.join(base, "eval", "extra.wav"), new, SR)
+
+    calls = []
+    real_load = D.load_audio
+    monkeypatch.setattr(
+        D, "load_audio", lambda p, sr: calls.append(p) or real_load(p, sr)
+    )
+    ds = EvalDataset(utts + ["extra.wav"], base)
+    cache = ds.warm_decode_cache(cdir)
+    assert len(cache) == len(utts) + 1
+    assert len(calls) == 1 and calls[0].endswith("extra.wav")

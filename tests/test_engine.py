@@ -293,3 +293,34 @@ def test_global_scope_sharded_matches_single_device():
     scale = max(float(np.abs(da).max()) for da, _ in deltas)
     for da, db in deltas:
         assert float(np.abs(da - db).max()) < 0.1 * scale
+
+
+def test_zero1_preserves_tensor_parallel_axis():
+    """Moments inherit the params' TP sharding from optimizer.init; ZeRO-1
+    must compose 'data' onto a FREE axis, not clobber 'model'."""
+    from scl_deepfake_audio_detection_tpu.parallel import shard_opt_state
+    from scl_deepfake_audio_detection_tpu.train.optim import make_optimizer
+
+    model = LinearNLL(ssl=XLSRConfig.tiny(ffn_dim=512), emb_dim=16)
+    mesh = make_mesh((4, 2))
+    from scl_deepfake_audio_detection_tpu.parallel import shard_params
+
+    params = shard_params(model.init(jax.random.key(0)), mesh)
+    opt_state = make_optimizer(1e-4).init(params)
+    sharded = shard_opt_state(opt_state, mesh, min_size=1024)
+
+    specs = [
+        tuple(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(sharded)
+        if isinstance(getattr(leaf, "sharding", None), jax.sharding.NamedSharding)
+        and leaf.ndim >= 2
+        and leaf.size >= 1024
+    ]
+    both = [s for s in specs if "model" in s and "data" in s]
+    assert both, f"no moment leaf kept TP while gaining data sharding: {specs[:8]}"
+
+    # 1-wide data axis: opt state untouched (keeps TP placement)
+    mesh_tp = make_mesh((1, 8))
+    p2 = shard_params(model.init(jax.random.key(0)), mesh_tp)
+    o2 = make_optimizer(1e-4).init(p2)
+    assert shard_opt_state(o2, mesh_tp, min_size=1024) is o2

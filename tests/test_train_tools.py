@@ -186,3 +186,33 @@ def test_trace_epoch_writes_profile(tmp_path):
 
     with trace_epoch(None):  # disabled: no-op
         pass
+
+
+def test_multihost_loader_shards_have_equal_step_counts():
+    """Per-host step counts must match exactly — an extra step on some hosts
+    would desync global-mesh collectives (pod deadlock)."""
+    from scl_deepfake_audio_detection_tpu.data.loader import TrainLoader
+
+    class FakeBuilder:
+        def __len__(self):
+            return 25  # 25 % 8 != 0
+
+        def build(self, i, epoch):
+            import numpy as np
+
+            return f"u{i}", np.zeros((2, 8), np.float32), np.zeros(2, np.float32)
+
+    counts = []
+    for k in range(8):
+        loader = TrainLoader(FakeBuilder(), groups_per_step=1, shuffle=True,
+                             num_workers=1, shard_index=k, num_shards=8)
+        counts.append(len(loader._epoch_order(epoch=0)))
+        assert len(loader) == counts[-1]
+    assert len(set(counts)) == 1  # identical on every host
+    # shards are still disjoint
+    all_idx = np.concatenate([
+        TrainLoader(FakeBuilder(), 1, shuffle=True, num_workers=1,
+                    shard_index=k, num_shards=8)._epoch_order(0)
+        for k in range(8)
+    ])
+    assert len(set(all_idx.tolist())) == len(all_idx)
