@@ -24,7 +24,7 @@ index) — deterministic and resume-friendly, unlike the reference's global
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

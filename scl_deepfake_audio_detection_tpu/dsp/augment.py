@@ -20,7 +20,6 @@ Reproduced reference quirks (they shape the training distribution):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import numpy as np
 

@@ -25,7 +25,6 @@ segmentation is a reshape + reductions, so it fuses into the forward pass).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -38,7 +38,6 @@ from scl_deepfake_audio_detection_tpu.models.base import ModelOutput, Params
 from scl_deepfake_audio_detection_tpu.ops.layers import (
     batch_norm,
     conv2d,
-    dropout,
     init_batch_norm,
     init_bn_buffers,
     init_conv2d,

@@ -23,7 +23,7 @@ Weights convert from fairseq ``xlsr2_300m.pt`` or HuggingFace
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -18,7 +18,6 @@ import functools
 import json
 import os
 import time
-from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ takes the learning rate as a plain scalar input — no retrace when it changes.
 from __future__ import annotations
 
 import math
-import jax
 import jax.numpy as jnp
 import optax
 

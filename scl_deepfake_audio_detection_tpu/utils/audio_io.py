@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import math
 import os
-import struct
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
