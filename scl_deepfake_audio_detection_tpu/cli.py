@@ -450,10 +450,10 @@ def main(argv=None) -> int:
                                  num_workers=args.num_workers, seed=args.seed,
                                  shard_index=pidx, num_shards=pcnt)
 
-    # non-zero processes train the same global step but leave checkpoint /
-    # metrics writing to process 0 (shared-filesystem pods would race)
-    save_dir = os.path.join(args.out_dir, train_cfg.model_tag()) if pidx == 0 else None
-    if save_dir:
+    # every process passes save_dir: checkpoint saves are collectives (ZeRO-1
+    # shards all-gather inside ckpt.save) and process 0 alone writes files
+    save_dir = os.path.join(args.out_dir, train_cfg.model_tag())
+    if pidx == 0:
         os.makedirs(save_dir, exist_ok=True)
     print(f"model tag: {train_cfg.model_tag()}")
 

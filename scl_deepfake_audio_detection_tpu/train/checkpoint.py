@@ -64,10 +64,28 @@ def _unflatten_dicts(flat: Dict[str, Any]):
     return listify(nested)
 
 
+def _to_host(v) -> np.ndarray:
+    """Device -> host, multi-process-safe.  ZeRO-1 shards the optimizer
+    moments across processes on a pod, so a leaf may not be fully
+    addressable here; gather it collectively (every process must reach this
+    call — ``save`` is a collective in multi-process runs, with only process
+    0 touching the filesystem).  Single process: plain np.asarray."""
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        v = multihost_utils.process_allgather(v, tiled=True)
+    return np.asarray(v)
+
+
 def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
-    """Atomically save a pytree of arrays (+ JSON-able ``extra`` metadata)."""
+    """Atomically save a pytree of arrays (+ JSON-able ``extra`` metadata).
+
+    Multi-process: collective — call from EVERY process (sharded leaves are
+    all-gathered); only process 0 writes the files."""
+    flat = {k: _to_host(v) for k, v in _flatten(tree).items()}
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    flat = {k: np.asarray(v) for k, v in _flatten(tree).items()}
     meta = {"keys": sorted(flat), "extra": extra or {}}
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
     try:

@@ -224,10 +224,16 @@ class Engine:
 
         cfg = self.cfg
         stopper = EarlyStop()
-        metrics_path = os.path.join(save_dir, "metrics.jsonl") if save_dir else None
-        if save_dir:
+        # checkpoint saves are collectives (sharded leaves all-gather inside
+        # ckpt.save), so every process runs them; plain file writes (metrics
+        # JSONL, tensorboard) happen on process 0 only
+        proc0 = jax.process_index() == 0
+        metrics_path = (
+            os.path.join(save_dir, "metrics.jsonl") if save_dir and proc0 else None
+        )
+        if save_dir and proc0:
             os.makedirs(save_dir, exist_ok=True)
-        tb = ScalarWriter(tensorboard_dir)
+        tb = ScalarWriter(tensorboard_dir if proc0 else None)
 
         for epoch in range(cfg.start_epoch, cfg.start_epoch + cfg.num_epochs):
             lr = cyclic_exp_lr(epoch, cfg.min_lr, cfg.max_lr)
