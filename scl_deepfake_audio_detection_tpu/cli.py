@@ -166,7 +166,26 @@ def main(argv=None) -> int:
         if not args.protocol:
             print("--analyze requires --protocol", file=sys.stderr)
             return 2
-        rep = score_report(args.analyze, args.protocol, fmt=args.score_format,
+        score_path = args.analyze
+        if not os.path.exists(score_path):
+            # glob (e.g. 'scores.txt.part*' from --multihost eval): merge the
+            # per-host shards into one temp file for analysis
+            import glob as _glob
+            import tempfile
+
+            parts = sorted(_glob.glob(score_path))
+            if not parts:
+                print(f"no score file matches {score_path}", file=sys.stderr)
+                return 2
+            merged = tempfile.NamedTemporaryFile(
+                "w", suffix=".scores.txt", delete=False
+            )
+            with merged as f:
+                for p in parts:
+                    f.write(open(p).read())
+            print(f"merged {len(parts)} score shards -> {merged.name}")
+            score_path = merged.name
+        rep = score_report(score_path, args.protocol, fmt=args.score_format,
                            subset=args.subset, per_attack=args.per_attack)
         print(rep)
         if args.plot:
@@ -175,7 +194,7 @@ def main(argv=None) -> int:
                 plot_score_distributions,
             )
 
-            tar, non = matched_scores(args.analyze, args.protocol,
+            tar, non = matched_scores(score_path, args.protocol,
                                       fmt=args.score_format, subset=args.subset)
             path = plot_score_distributions(tar, non, args.plot,
                                             threshold=rep.threshold)

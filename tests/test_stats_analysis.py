@@ -94,3 +94,26 @@ def test_score_distribution_plot(tmp_path):
     import os
 
     assert os.path.getsize(out) > 10_000  # a real rendered figure
+
+
+def test_analyze_accepts_score_shard_glob(tmp_path):
+    """--multihost eval writes <out>.part<k> per host; --analyze with a glob
+    merges them before reporting."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    proto = tmp_path / "protocol.txt"
+    lines, scores = [], []
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        lines.append(f"spk u{i} - none {label}")
+        s = (1.0 if label == "bonafide" else -1.0) + rng.normal() * 0.1
+        scores.append(f"u{i} {-abs(s):.4f} {s:.4f}")
+    proto.write_text("\n".join(lines) + "\n")
+    # shard the score lines over two "hosts"
+    (tmp_path / "scores.txt.part0").write_text("\n".join(scores[0::2]) + "\n")
+    (tmp_path / "scores.txt.part1").write_text("\n".join(scores[1::2]) + "\n")
+
+    rc = main(["--analyze", str(tmp_path / "scores.txt.part*"),
+               "--protocol", str(proto), "--score_format", "eval"])
+    assert rc == 0
