@@ -143,7 +143,12 @@ def _build_model(args, cfg):
 
 
 def _init_params(args, model, rng_key):
-    params = model.init(rng_key)
+    import jax
+
+    # one compiled init program: eager init dispatches one tiny RNG program
+    # per parameter — hundreds of device round trips, minutes over a
+    # remote-tunneled chip (same rationale as Engine.init_state)
+    params = jax.jit(model.init)(rng_key)
     if args.ssl_checkpoint:
         from scl_deepfake_audio_detection_tpu.models import convert
 

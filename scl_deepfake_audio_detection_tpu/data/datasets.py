@@ -167,8 +167,10 @@ class SCLViewBatchBuilder:
             return voc, voc_aug
 
         def load_additional_reals():
-            pool = [i for i in range(len(self.files)) if i != idx]
-            picks = rng.choice(pool, spec.num_additional_real, replace=False)
+            # with replacement over the full list, like the reference's
+            # np.random.choice(self.list_IDs, n) (asvspoof_2019_augall_3.py:
+            # 127-130) — also keeps tiny dev lists (< n others) working
+            picks = rng.choice(len(self.files), spec.num_additional_real)
             return [
                 (self._load(os.path.join(self.bonafide_dir, self.files[i])),
                  os.path.join(self.bonafide_dir, self.files[i]))
@@ -177,7 +179,7 @@ class SCLViewBatchBuilder:
 
         def load_additional_spoofs():
             pool = self.spoof_list
-            picks = rng.choice(len(pool), spec.num_additional_spoof, replace=False)
+            picks = rng.choice(len(pool), spec.num_additional_spoof)
             return [
                 (self._load(os.path.join(pool[i][0], pool[i][1])),
                  os.path.join(pool[i][0], pool[i][1]))
@@ -233,12 +235,11 @@ class SCLViewBatchBuilder:
         rng = self._rng(idx, epoch)
         utt = self.files[idx]
         anchor = self._load(os.path.join(self.bonafide_dir, utt))
+        # with replacement over the full list (reference semantics,
+        # asvspoof_2019_augall_3.py:127-130)
         reals = [
             self._load(os.path.join(self.bonafide_dir, self.files[i]))
-            for i in rng.choice(
-                [i for i in range(len(self.files)) if i != idx],
-                spec.num_additional_real, replace=False,
-            )
+            for i in rng.choice(len(self.files), spec.num_additional_real)
         ] if spec.num_additional_real else []
         voc = [
             self._load(os.path.join(self.vocoded_dir, f"{v}_{utt}"))
@@ -246,8 +247,7 @@ class SCLViewBatchBuilder:
         ] if spec.variant != "scl_normal" else []
         spoofs = []
         if spec.num_additional_spoof and self.spoof_list:
-            picks = rng.choice(len(self.spoof_list), spec.num_additional_spoof,
-                               replace=False)
+            picks = rng.choice(len(self.spoof_list), spec.num_additional_spoof)
             spoofs = [
                 self._load(os.path.join(self.spoof_list[i][0], self.spoof_list[i][1]))
                 for i in picks

@@ -15,5 +15,7 @@ import jax
 print("jax", jax.__version__, "backend:", jax.default_backend(), "devices:", len(jax.devices()))
 from scl_deepfake_audio_detection_tpu import native
 print("native host-DSP:", "built" if native.available() else "unavailable (numpy fallback)")
+print("native codec (flac/mp3/opus/g722):",
+      "built" if native.codec_available() else "unavailable (soundfile/G.711 fallbacks)")
 PY
 echo "environment OK"

@@ -212,3 +212,19 @@ def test_train_loader_multihost_shards_disjoint(db):
     # deterministic across re-iteration
     again = [batch["utts"][0] for batch in loaders[0].epoch(0)]
     assert again == seen[0]
+
+
+def test_additional_reals_work_on_tiny_lists(db):
+    """Additional bonafides sample WITH replacement over the full list
+    (reference np.random.choice default, asvspoof_2019_augall_3.py:127-130)
+    — a 2-item dev list must serve num_additional_real=3 without error."""
+    root, utts = db
+    spec = spec_from_config("asvspoof_2019_augall_3",
+                            dict(vocoders=VOCODERS[:1], augmentation_methods=[],
+                                 num_additional_real=3, trim_length=4000))
+    b = SCLViewBatchBuilder(spec, str(root) + "/", utts[:2], _resources(root),
+                            seed=0)
+    utt, wav, labels = b.build(0, epoch=0)
+    assert wav.shape[0] == spec.num_views
+    raw = b.build_raw(0, epoch=0)
+    assert raw["reals"].shape[0] == 3
