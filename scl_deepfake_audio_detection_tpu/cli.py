@@ -99,8 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "repeat CLI runs skip the ~30s first compile")
     p.add_argument("--wire_dtype", type=str, default="float32",
                    choices=["float32", "int16"],
-                   help="eval host->device wire format; int16 halves PCIe/"
-                        "tunnel transfer and is lossless for PCM16 audio")
+                   help="host->device wire format for eval batches and "
+                        "--device_aug raw stacks; int16 halves PCIe/tunnel "
+                        "transfer and is lossless for PCM16 audio")
     p.add_argument("--warm_cache", action="store_true", default=False,
                    help="pre-populate the offline augmentation cache for the "
                         "train+dev lists (needs online_aug: false), then exit")
@@ -460,12 +461,14 @@ def main(argv=None) -> int:
         train_loader = DeviceAugTrainLoader(train_builder, groups, shuffle=True,
                                             num_workers=args.num_workers,
                                             seed=args.seed,
-                                            shard_index=pidx, num_shards=pcnt)
+                                            shard_index=pidx, num_shards=pcnt,
+                                            wire_dtype=args.wire_dtype)
         dev_loader = DeviceAugTrainLoader(dev_builder, groups, shuffle=False,
                                           drop_last=False,
                                           num_workers=args.num_workers,
                                           seed=args.seed,
-                                          shard_index=pidx, num_shards=pcnt)
+                                          shard_index=pidx, num_shards=pcnt,
+                                          wire_dtype=args.wire_dtype)
     else:
         train_loader = TrainLoader(train_builder, groups, shuffle=True,
                                    num_workers=args.num_workers, seed=args.seed,

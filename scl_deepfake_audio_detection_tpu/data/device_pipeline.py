@@ -115,7 +115,11 @@ def compose_views(
     variant: str = "augall_3",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (views [G, V, T], labels [G, V]) on device, per dataset variant
-    (the ``datautils/*`` __getitem__ recipes, SURVEY §2 A11/A12):
+    (the ``datautils/*`` __getitem__ recipes, SURVEY §2 A11/A12).
+
+    Waveform inputs may arrive as int16 PCM (the training-side wire format —
+    half the host->device bytes, lossless for PCM16-decoded audio); they are
+    rescaled on device here, mirroring the eval path's ``_score_step``:
 
     - augall_3 / augall_5: anchor + [rb, noise, reverb](anchor) + reals ||
       voc + rb(voc) + spoofs
@@ -124,6 +128,10 @@ def compose_views(
       spoofs + rand(spoofs)
     - xinwang: anchor + all3(anchor) || voc + all3(voc)
     """
+    def dewire(x):
+        return x.astype(jnp.float32) / 32768.0 if x.dtype == jnp.int16 else x
+
+    anchors, reals, vocoded, spoofs = map(dewire, (anchors, reals, vocoded, spoofs))
     g, t = anchors.shape
     n_real = reals.shape[1]
     n_voc = vocoded.shape[1]

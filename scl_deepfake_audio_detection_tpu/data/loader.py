@@ -119,7 +119,22 @@ class DeviceAugTrainLoader(TrainLoader):
     ``data/device_pipeline.DeviceViewComposer``.  On a single-core host this
     is the difference between ~3 items/s (full host DSP) and ~580 items/s
     (decode only) — the chip runs the augmentations instead.
+
+    ``wire_dtype='int16'`` ships the raw stacks as PCM16 (half the
+    host->device bytes; lossless for PCM16-decoded audio — the composer
+    rescales on device, mirroring EvalLoader's eval-side wire format).
     """
+
+    def __init__(self, *args, wire_dtype: str = "float32", **kw):
+        super().__init__(*args, **kw)
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32 or int16, got {wire_dtype}")
+        self.wire_dtype = wire_dtype
+
+    def _wire(self, x: np.ndarray) -> np.ndarray:
+        if self.wire_dtype == "int16":
+            return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        return x
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
         order = self._epoch_order(epoch)
@@ -141,10 +156,10 @@ class DeviceAugTrainLoader(TrainLoader):
                         ))
                         out_q.put({
                             "utts": [d["utt"] for d in items],
-                            "anchors": np.stack([d["anchor"] for d in items]),
-                            "reals": np.stack([d["reals"] for d in items]),
-                            "vocoded": np.stack([d["vocoded"] for d in items]),
-                            "spoofs": np.stack([d["spoofs"] for d in items]),
+                            "anchors": self._wire(np.stack([d["anchor"] for d in items])),
+                            "reals": self._wire(np.stack([d["reals"] for d in items])),
+                            "vocoded": self._wire(np.stack([d["vocoded"] for d in items])),
+                            "spoofs": self._wire(np.stack([d["spoofs"] for d in items])),
                         })
                 out_q.put(None)
             except BaseException as e:

@@ -180,3 +180,36 @@ def test_compose_views_variants(rng, variant, n_views, n_pos):
     np.testing.assert_array_equal(labels[0, :n_pos], 1)
     np.testing.assert_array_equal(labels[0, n_pos:], 0)
     assert np.isfinite(np.asarray(views)).all()
+
+
+def test_int16_wire_matches_float_path():
+    """Training-side PCM16 wire: the composer rescales on device; for
+    int16-representable inputs the composed views are identical to the
+    float32 wire."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.data.device_pipeline import (
+        DeviceViewComposer,
+    )
+    from scl_deepfake_audio_detection_tpu.utils.config import RawBoostConfig
+
+    rng = np.random.default_rng(0)
+    g, t = 2, 4000
+    q = lambda x: np.clip(np.round(x * 32768), -32768, 32767) / 32768
+
+    anchors = q(rng.normal(size=(g, t)) * 0.2).astype(np.float32)
+    reals = q(rng.normal(size=(g, 1, t)) * 0.2).astype(np.float32)
+    voc = q(rng.normal(size=(g, 2, t)) * 0.2).astype(np.float32)
+    noise = (rng.normal(size=(1, 8000)) * 0.1).astype(np.float32)
+    rir = np.zeros((1, 800), np.float32); rir[0, 0] = 1.0
+
+    composer = DeviceViewComposer(RawBoostConfig(), noise, rir, seed=3)
+    key = jax.random.key(1)
+    v_f, l_f = composer(anchors, reals, voc, key)
+
+    to16 = lambda x: np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    composer2 = DeviceViewComposer(RawBoostConfig(), noise, rir, seed=3)
+    v_i, l_i = composer2(to16(anchors), to16(reals), to16(voc), key)
+
+    np.testing.assert_array_equal(np.asarray(l_f), np.asarray(l_i))
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_i), atol=1e-6)
