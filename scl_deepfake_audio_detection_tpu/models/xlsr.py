@@ -127,6 +127,28 @@ class XLSRConfig:
         return cls(**kw)
 
     @classmethod
+    def xlsr_1b(cls, **kw) -> "XLSRConfig":
+        """XLS-R 1B (wav2vec2 conformer-free 'large' scaled up: 48 layers,
+        1280-d, 5120 FFN — facebook/wav2vec2-xls-r-1b).  The reference only
+        ships 300M; this preset feeds the same pipeline (the converter reads
+        dims from the checkpoint, ``models/convert.py``).  At this scale one
+        v5e chip no longer fits training without ZeRO-1 + remat; TP or
+        pipeline over the encoder stack is the intended layout."""
+        base = dict(encoder_dim=1280, encoder_layers=48, ffn_dim=5120,
+                    num_heads=16)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def xlsr_2b(cls, **kw) -> "XLSRConfig":
+        """XLS-R 2B (48 layers, 1920-d, 7680 FFN —
+        facebook/wav2vec2-xls-r-2b)."""
+        base = dict(encoder_dim=1920, encoder_layers=48, ffn_dim=7680,
+                    num_heads=16)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
     def tiny(cls, **kw) -> "XLSRConfig":
         """Small config for CPU tests / multichip dryruns."""
         base = dict(

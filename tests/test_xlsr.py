@@ -244,3 +244,30 @@ def test_remat_policy_dots_matches(tiny_pair):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
     g = jax.grad(lambda p: jnp.sum(X.extract_features(p, cfg_d, wav) ** 2))(params)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+
+
+def test_xlsr_family_presets():
+    """XLS-R 1B/2B presets (facebook/wav2vec2-xls-r-{1b,2b} dims): same conv
+    stack, scaled encoder; head_dim stays integral and frame math is
+    unchanged (stride-320 conv stack)."""
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+
+    for cfg, d, l, f in (
+        (XLSRConfig.xlsr_300m(), 1024, 24, 4096),
+        (XLSRConfig.xlsr_1b(), 1280, 48, 5120),
+        (XLSRConfig.xlsr_2b(), 1920, 48, 7680),
+    ):
+        assert (cfg.encoder_dim, cfg.encoder_layers, cfg.ffn_dim) == (d, l, f)
+        assert cfg.encoder_dim % cfg.num_heads == 0
+        assert cfg.num_frames(64600) == 201  # conv stack unchanged
+    # params instantiate at a scaled-down 1b-shape (smoke: init only)
+    tiny_1b = XLSRConfig.xlsr_1b(
+        encoder_dim=64, encoder_layers=4, ffn_dim=128, num_heads=8,
+        conv_layers=((16, 10, 5), (16, 3, 2)), pos_conv_kernel=16,
+        pos_conv_groups=4,
+    )
+    from scl_deepfake_audio_detection_tpu.models.xlsr import init_xlsr
+    import jax
+
+    params = init_xlsr(jax.random.key(0), tiny_1b)
+    assert params["encoder"]["layers"]["fc1"]["w"].shape == (4, 64, 128)
