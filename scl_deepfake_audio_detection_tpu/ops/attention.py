@@ -59,11 +59,22 @@ def attention_reference(
     ).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, kv_len: int):
-    """One q-block vs all kv-blocks, online softmax. Refs: [1, bq|T, D]."""
-    q = q_ref[0].astype(jnp.float32)  # [bq, D]
+def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *, block_kv: int, kv_len: int):
+    """One q-block vs all kv-blocks, online softmax.
+    q_ref [1, bq, D]; kt_ref [1, D, T] (K pre-transposed OUTSIDE the kernel:
+    a q·k^T dot contracts axis 1 of both operands, and at least one deployed
+    Mosaic/AOT compiler rejects that transposed-rhs bf16 matmul with
+    "Bad lhs type" — with K laid out [D, T] every dot is a standard
+    [M,K]·[K,N] contraction); v_ref [1, T, D]."""
+    # dots run on native (usually bf16) operands with fp32 accumulation —
+    # the canonical MXU form.  An explicit fp32 upcast before the dot gets
+    # re-folded by Mosaic into a mixed-precision matmul that at least one
+    # deployed AOT Mosaic rejects ("Bad lhs type").  Softmax statistics stay
+    # fp32; P is cast back to the value dtype for the PV matmul, exactly
+    # like ``attention_reference`` does.
+    q = q_ref[0]  # [bq, D], native dtype
     bq = q.shape[0]
-    t_kv = k_ref.shape[1]
+    t_kv = v_ref.shape[1]
     num_kv = t_kv // block_kv
 
     m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
@@ -71,11 +82,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, kv_len: int):
     acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
 
     for j in range(num_kv):  # static: t_kv is compile-time
-        kb = k_ref[0, j * block_kv : (j + 1) * block_kv, :].astype(jnp.float32)
-        vb = v_ref[0, j * block_kv : (j + 1) * block_kv, :].astype(jnp.float32)
+        kb_t = kt_ref[0, :, j * block_kv : (j + 1) * block_kv]
+        vb = v_ref[0, j * block_kv : (j + 1) * block_kv, :]
         s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bkv]
+            q, kb_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bkv] fp32
         if kv_len < (j + 1) * block_kv:  # static masking of key padding
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
             s = jnp.where(col < kv_len, s, -jnp.inf)
@@ -85,7 +96,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv: int, kv_len: int):
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         m = m_new
 
@@ -113,7 +125,9 @@ def _flash_forward(
     qp, kp, vp = pad_t(q, block_q), pad_t(k, block_kv), pad_t(v, block_kv)
     tq, tkv = qp.shape[2], kp.shape[2]
     qf = qp.reshape(b * h, tq, d)
-    kf = kp.reshape(b * h, tkv, d)
+    # K ships pre-transposed [D, T] (see _flash_kernel docstring); the
+    # transpose runs once in XLA, outside the kernel
+    ktf = kp.reshape(b * h, tkv, d).swapaxes(1, 2)
     vf = vp.reshape(b * h, tkv, d)
 
     grid = (b * h, tq // block_q)
@@ -123,7 +137,7 @@ def _flash_forward(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tkv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tkv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tkv, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -131,10 +145,10 @@ def _flash_forward(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq * tkv * d,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
+            bytes_accessed=(qf.size + ktf.size + vf.size) * qf.dtype.itemsize * 2,
             transcendentals=b * h * tq * tkv,
         ),
-    )(qf, kf, vf)
+    )(qf, ktf, vf)
     return out.reshape(b, h, tq, d)[:, :, :t, :]
 
 
@@ -165,6 +179,32 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # once T spans many kv blocks).
 FLASH_MIN_SEQ = 512
 
+# Lazily probed: some TPU deployment paths route compiles through an AOT
+# compiler whose Mosaic version rejects the kernel ("Bad lhs type" on the
+# bf16xbf16->f32 tpu.matmul — observed via the axon tunnel's remote AOT
+# compile, while direct device compiles of the same program succeed).  The
+# 'auto' dispatch probes once per process and falls back to the fused
+# einsum when the kernel cannot compile; explicit impl='flash' stays
+# unguarded so the failure is visible when requested by name.
+_flash_supported: Optional[bool] = None
+
+
+def flash_available() -> bool:
+    global _flash_supported
+    if _flash_supported is None:
+        if pltpu is None or jax.default_backend() != "tpu":
+            _flash_supported = False
+        else:
+            try:
+                z = jnp.zeros((1, 1, FLASH_MIN_SEQ, 64), jnp.bfloat16)
+                jax.block_until_ready(
+                    jax.jit(lambda a: _flash_forward(a, a, a, None))(z)
+                )
+                _flash_supported = True
+            except Exception:  # compile- or run-time rejection
+                _flash_supported = False
+    return _flash_supported
+
 
 def self_attention(
     q: jnp.ndarray,
@@ -179,7 +219,11 @@ def self_attention(
     FLASH_MIN_SEQ). q must be pre-scaled by 1/sqrt(D)."""
     if impl == "auto":
         on_tpu = pltpu is not None and jax.default_backend() == "tpu"
-        impl = "flash" if on_tpu and q.shape[2] >= FLASH_MIN_SEQ else "xla"
+        impl = (
+            "flash"
+            if on_tpu and q.shape[2] >= FLASH_MIN_SEQ and flash_available()
+            else "xla"
+        )
     if impl == "flash":
         return flash_attention(q, k, v, kv_len)
     return attention_reference(q, k, v, kv_len)

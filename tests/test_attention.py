@@ -68,3 +68,34 @@ def test_dispatch_auto_uses_xla_on_cpu(rng):
     out = attn.self_attention(q, k, v, impl="auto")  # CPU backend -> xla path
     want = attn.attention_reference(q, k, v)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_auto_dispatch_probes_flash_support(monkeypatch):
+    """'auto' falls back to einsum when the Pallas kernel can't compile on
+    the deployment's TPU compile path (observed: an AOT Mosaic rejecting the
+    kernel that direct device compiles accept)."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.ops import attention as A
+
+    # CPU backend: probe reports unsupported, dispatch uses einsum
+    monkeypatch.setattr(A, "_flash_supported", None)
+    assert not A.flash_available()
+
+    # simulate a TPU whose compile path rejects the kernel
+    monkeypatch.setattr(A, "_flash_supported", None)
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        A, "_flash_forward",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("Mosaic: Bad lhs type")),
+    )
+    if A.pltpu is not None:
+        assert not A.flash_available()
+        q = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 2, 600, 16)), jnp.float32
+        )
+        out = A.self_attention(q, q, q, impl="auto")  # must not raise
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(A.attention_reference(q, q, q)),
+            rtol=1e-6,
+        )
