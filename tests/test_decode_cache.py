@@ -143,3 +143,18 @@ def test_incremental_rebuild_reuses_old_cache(eval_dir, tmp_path, rng, monkeypat
     cache = ds.warm_decode_cache(cdir)
     assert len(cache) == len(utts) + 1
     assert len(calls) == 1 and calls[0].endswith("extra.wav")
+
+
+def test_cache_with_int16_wire(eval_dir, tmp_path):
+    """Decode cache + PCM16 wire compose: the cache stores int16, the wire
+    re-quantizes losslessly, and batches equal the direct float path."""
+    base, utts = eval_dir
+    ds = EvalDataset(utts, base, cut=8000)
+    ref = [(w.copy(), u) for w, u in EvalLoader(ds, batch_size=2)]
+    ds.warm_decode_cache(str(tmp_path / "cache"))
+    wired = list(EvalLoader(ds, batch_size=2, wire_dtype="int16"))
+    for (w0, u0), (w1, u1) in zip(ref, wired):
+        assert u0 == u1 and w1.dtype == np.int16
+        np.testing.assert_array_equal(
+            w0, w1.astype(np.float32) / 32768.0
+        )
