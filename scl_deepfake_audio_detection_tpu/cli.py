@@ -210,10 +210,19 @@ def main(argv=None) -> int:
     import jax
 
     if args.multihost:
-        # TPU pod: one process per host; coordinator/address come from the
-        # TPU environment (jax.distributed reads them automatically)
+        # TPU pod: one process per host; coordinator/peers come from the TPU
+        # environment (jax.distributed autodetects).  Non-TPU clusters (and
+        # the 2-process CPU validation in tests) pass them explicitly via
+        # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
         try:
-            jax.distributed.initialize()
+            if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+                jax.distributed.initialize(
+                    coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                    process_id=int(os.environ["JAX_PROCESS_ID"]),
+                )
+            else:
+                jax.distributed.initialize()
         except Exception as e:  # single-host invocation: run unsharded
             print(f"--multihost: no cluster detected ({e}); continuing "
                   "as a single process", file=sys.stderr)
@@ -463,8 +472,10 @@ def main(argv=None) -> int:
                                             seed=args.seed,
                                             shard_index=pidx, num_shards=pcnt,
                                             wire_dtype=args.wire_dtype)
+        # pods must drop ragged dev remainders: a final batch smaller than
+        # the per-process data slice can't place on the global mesh
         dev_loader = DeviceAugTrainLoader(dev_builder, groups, shuffle=False,
-                                          drop_last=False,
+                                          drop_last=(pcnt > 1),
                                           num_workers=args.num_workers,
                                           seed=args.seed,
                                           shard_index=pidx, num_shards=pcnt,
@@ -473,7 +484,8 @@ def main(argv=None) -> int:
         train_loader = TrainLoader(train_builder, groups, shuffle=True,
                                    num_workers=args.num_workers, seed=args.seed,
                                    shard_index=pidx, num_shards=pcnt)
-        dev_loader = TrainLoader(dev_builder, groups, shuffle=False, drop_last=False,
+        dev_loader = TrainLoader(dev_builder, groups, shuffle=False,
+                                 drop_last=(pcnt > 1),
                                  num_workers=args.num_workers, seed=args.seed,
                                  shard_index=pidx, num_shards=pcnt)
 

@@ -1,0 +1,116 @@
+"""Real multi-process validation of --multihost: two OS processes form a
+jax.distributed CPU cluster (2 virtual devices each -> a 4-device global
+mesh) and train one epoch through the CLI.  Both must follow the SAME
+trajectory (sharded loaders + global-mesh collectives + ZeRO-1 moments),
+and the collective checkpoint save must write exactly once (process 0)."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+SR = 16000
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def mh_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh_db")
+    rng = np.random.default_rng(0)
+    utts = [f"u{i}.wav" for i in range(12)]
+    for d in ("bonafide", "vocoded", "scp", "musan", "rirs"):
+        os.makedirs(root / d, exist_ok=True)
+    for u in utts:
+        n = int(rng.integers(4000, 9000))
+        save_wav(str(root / "bonafide" / u),
+                 (rng.normal(size=n) * 0.2).astype(np.float32), SR)
+        save_wav(str(root / "vocoded" / f"hifigan_{u}"),
+                 (rng.normal(size=n) * 0.2).astype(np.float32), SR)
+    save_wav(str(root / "musan" / "n.wav"),
+             (rng.normal(size=SR) * 0.1).astype(np.float32), SR)
+    rir = np.zeros(200, np.float32)
+    rir[0] = 1.0
+    save_wav(str(root / "rirs" / "r.wav"), rir, SR)
+    (root / "scp" / "train_bonafide.lst").write_text("\n".join(utts[:8]) + "\n")
+    (root / "scp" / "dev_bonafide.lst").write_text("\n".join(utts[8:]) + "\n")
+    (root / "cfg.yaml").write_text(f"""
+model:
+  name: wav2vec2_linear_nll
+  flag_fix_ssl: false
+  contra_mode: 'all'
+  loss_type: 1
+data:
+  name: 'asvspoof_2019_augall_3'
+  kwargs:
+    vocoders: ['hifigan']
+    augmentation_methods: ["RawBoost12"]
+    num_additional_real: 1
+    trim_length: 4000
+    wav_samp_rate: 16000
+    online_aug: true
+    aug_dir: '{root}/aug'
+    noise_path: '{root}/musan'
+    rir_path: '{root}/rirs'
+""")
+    return root
+
+
+def test_two_process_multihost_train(mh_db, tmp_path):
+    port = _free_port()
+    out_dir = str(tmp_path / "out")
+    code = (
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from scl_deepfake_audio_detection_tpu.cli import main\n"
+        "sys.exit(main(["
+        f"'--config', r'{mh_db}/cfg.yaml', '--database_path', r'{mh_db}/',"
+        "'--batch_size', '2', '--groups_per_step', '2', '--num_epochs', '1',"
+        "'--seed', '7', '--ssl_preset', 'tiny', '--num_workers', '1',"
+        f"'--out_dir', r'{out_dir}', '--multihost', '--zero1']))\n"
+    )
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    # identical trajectory on both processes (one global batch per step)
+    losses = [re.search(r"train_loss=([0-9.]+)", o) for o in outs]
+    assert all(losses), outs[0][-2000:]
+    assert losses[0].group(1) == losses[1].group(1)
+
+    # collective save: exactly one checkpoint tree, written by process 0
+    import glob
+
+    cks = glob.glob(out_dir + "/**/last.ckpt", recursive=True)
+    assert len(cks) == 1
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+
+    tree, extra = ckpt.load(cks[0])
+    assert "params" in tree and extra["epoch"] == 0
