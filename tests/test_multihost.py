@@ -30,13 +30,15 @@ def mh_db(tmp_path_factory):
     root = tmp_path_factory.mktemp("mh_db")
     rng = np.random.default_rng(0)
     utts = [f"u{i}.wav" for i in range(12)]
-    for d in ("bonafide", "vocoded", "scp", "musan", "rirs"):
+    for d in ("bonafide", "vocoded", "eval", "scp", "musan", "rirs"):
         os.makedirs(root / d, exist_ok=True)
     for u in utts:
         n = int(rng.integers(4000, 9000))
         save_wav(str(root / "bonafide" / u),
                  (rng.normal(size=n) * 0.2).astype(np.float32), SR)
         save_wav(str(root / "vocoded" / f"hifigan_{u}"),
+                 (rng.normal(size=n) * 0.2).astype(np.float32), SR)
+        save_wav(str(root / "eval" / u),
                  (rng.normal(size=n) * 0.2).astype(np.float32), SR)
     save_wav(str(root / "musan" / "n.wav"),
              (rng.normal(size=SR) * 0.1).astype(np.float32), SR)
@@ -45,6 +47,7 @@ def mh_db(tmp_path_factory):
     save_wav(str(root / "rirs" / "r.wav"), rir, SR)
     (root / "scp" / "train_bonafide.lst").write_text("\n".join(utts[:8]) + "\n")
     (root / "scp" / "dev_bonafide.lst").write_text("\n".join(utts[8:]) + "\n")
+    (root / "scp" / "test.lst").write_text("\n".join(utts) + "\n")
     (root / "cfg.yaml").write_text(f"""
 model:
   name: wav2vec2_linear_nll
@@ -114,3 +117,43 @@ def test_two_process_multihost_train(mh_db, tmp_path):
 
     tree, extra = ckpt.load(cks[0])
     assert "params" in tree and extra["epoch"] == 0
+
+
+def test_two_process_multihost_eval_part_files(mh_db, tmp_path):
+    """--multihost eval: each process scores its file-list slice on its own
+    local mesh and writes <out>.part<k>; the shards are disjoint and cover
+    the eval set."""
+    port = _free_port()
+    scores = str(tmp_path / "scores.txt")
+    code = (
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from scl_deepfake_audio_detection_tpu.cli import main\n"
+        "sys.exit(main(["
+        f"'--config', r'{mh_db}/cfg.yaml', '--database_path', r'{mh_db}/',"
+        "'--batch_size', '2', '--eval', '--ssl_preset', 'tiny',"
+        f"'--num_workers', '1', '--eval_output', r'{scores}', '--multihost']))\n"
+    )
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+    shards = [open(scores + f".part{k}").read().strip().splitlines()
+              for k in range(2)]
+    utts = [ln.split()[0] for sh in shards for ln in sh]
+    assert len(utts) == 12 and len(set(utts)) == 12  # disjoint, complete
