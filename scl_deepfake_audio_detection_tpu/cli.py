@@ -173,6 +173,7 @@ def main(argv=None) -> int:
             print("--analyze requires --protocol", file=sys.stderr)
             return 2
         score_path = args.analyze
+        cleanup_merged = None
         if not os.path.exists(score_path):
             # glob (e.g. 'scores.txt.part*' from --multihost eval): merge the
             # per-host shards into one temp file for analysis
@@ -188,23 +189,30 @@ def main(argv=None) -> int:
             )
             with merged as f:
                 for p in parts:
-                    f.write(open(p).read())
-            print(f"merged {len(parts)} score shards -> {merged.name}")
+                    text = open(p).read()
+                    f.write(text if text.endswith("\n") else text + "\n")
+            print(f"merged {len(parts)} score shards")
             score_path = merged.name
-        rep = score_report(score_path, args.protocol, fmt=args.score_format,
-                           subset=args.subset, per_attack=args.per_attack)
-        print(rep)
-        if args.plot:
-            from scl_deepfake_audio_detection_tpu.train.analysis import (
-                matched_scores,
-                plot_score_distributions,
-            )
+            cleanup_merged = merged.name
+        try:
+            rep = score_report(score_path, args.protocol, fmt=args.score_format,
+                               subset=args.subset, per_attack=args.per_attack)
+            print(rep)
+            if args.plot:
+                from scl_deepfake_audio_detection_tpu.train.analysis import (
+                    matched_scores,
+                    plot_score_distributions,
+                )
 
-            tar, non = matched_scores(score_path, args.protocol,
-                                      fmt=args.score_format, subset=args.subset)
-            path = plot_score_distributions(tar, non, args.plot,
-                                            threshold=rep.threshold)
-            print(f"score distribution figure -> {path}")
+                tar, non = matched_scores(score_path, args.protocol,
+                                          fmt=args.score_format,
+                                          subset=args.subset)
+                path = plot_score_distributions(tar, non, args.plot,
+                                                threshold=rep.threshold)
+                print(f"score distribution figure -> {path}")
+        finally:
+            if cleanup_merged:
+                os.unlink(cleanup_merged)
         return 0
 
     import jax
@@ -214,18 +222,21 @@ def main(argv=None) -> int:
         # environment (jax.distributed autodetects).  Non-TPU clusters (and
         # the 2-process CPU validation in tests) pass them explicitly via
         # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
-        try:
-            if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-                jax.distributed.initialize(
-                    coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                    process_id=int(os.environ["JAX_PROCESS_ID"]),
-                )
-            else:
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            # explicit cluster config: a mistake here must be FATAL — a
+            # silent single-process fallback would have every host score the
+            # full file list / write the same checkpoint paths
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        else:
+            try:
                 jax.distributed.initialize()
-        except Exception as e:  # single-host invocation: run unsharded
-            print(f"--multihost: no cluster detected ({e}); continuing "
-                  "as a single process", file=sys.stderr)
+            except Exception as e:  # single-host invocation: run unsharded
+                print(f"--multihost: no cluster detected ({e}); continuing "
+                      "as a single process", file=sys.stderr)
     pidx, pcnt = jax.process_index(), jax.process_count()
 
     if args.jax_cache:
@@ -409,9 +420,11 @@ def main(argv=None) -> int:
         if args.emb:
             @jax.jit
             def _emb_step(p, b, wav):
-                if wav.dtype == jax.numpy.int16:  # PCM16 wire format
-                    wav = wav.astype(jax.numpy.float32) / 32768.0
-                o = model.apply(p, wav, train=False, buffers=b)
+                from scl_deepfake_audio_detection_tpu.ops.layers import (
+                    dewire_pcm16,
+                )
+
+                o = model.apply(p, dewire_pcm16(wav), train=False, buffers=b)
                 return o.log_probs, o.emb
 
             def emb_fn(wav):

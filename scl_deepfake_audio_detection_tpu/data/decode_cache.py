@@ -93,11 +93,12 @@ class DecodeCache:
         with open(bin_tmp, "wb") as out, ThreadPoolExecutor(
             max(1, num_workers)
         ) as pool:
+            from scl_deepfake_audio_detection_tpu.utils.audio_io import (
+                pcm16_encode,
+            )
+
             for i, (utt, wav) in enumerate(zip(utts, pool.map(load_fn, utts))):
-                pcm = np.clip(
-                    np.round(np.asarray(wav, np.float32) * 32768.0),
-                    -32768, 32767,
-                ).astype("<i2")
+                pcm = pcm16_encode(np.asarray(wav, np.float32)).astype("<i2")
                 out.write(pcm.tobytes())
                 index["utts"][utt] = [offset, len(pcm)]
                 offset += len(pcm)

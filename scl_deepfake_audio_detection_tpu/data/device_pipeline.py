@@ -128,10 +128,11 @@ def compose_views(
       spoofs + rand(spoofs)
     - xinwang: anchor + all3(anchor) || voc + all3(voc)
     """
-    def dewire(x):
-        return x.astype(jnp.float32) / 32768.0 if x.dtype == jnp.int16 else x
+    from scl_deepfake_audio_detection_tpu.ops.layers import dewire_pcm16
 
-    anchors, reals, vocoded, spoofs = map(dewire, (anchors, reals, vocoded, spoofs))
+    anchors, reals, vocoded, spoofs = map(
+        dewire_pcm16, (anchors, reals, vocoded, spoofs)
+    )
     g, t = anchors.shape
     n_real = reals.shape[1]
     n_voc = vocoded.shape[1]

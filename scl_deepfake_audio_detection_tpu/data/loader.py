@@ -133,7 +133,11 @@ class DeviceAugTrainLoader(TrainLoader):
 
     def _wire(self, x: np.ndarray) -> np.ndarray:
         if self.wire_dtype == "int16":
-            return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+            from scl_deepfake_audio_detection_tpu.utils.audio_io import (
+                pcm16_encode,
+            )
+
+            return pcm16_encode(x)
         return x
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
@@ -231,12 +235,13 @@ class EvalLoader:
                             wav = np.concatenate([wav, pad])
                         if self.wire_dtype == "int16":
                             # PCM16 wire format: lossless for 16-bit-sourced
-                            # audio (load_audio divides by 32768) and halves
-                            # host->device transfer; the jitted score step
-                            # rescales on device (engine._score_step)
-                            wav = np.clip(
-                                np.round(wav * 32768.0), -32768, 32767
-                            ).astype(np.int16)
+                            # audio and halves host->device transfer; the
+                            # jitted score step rescales on device
+                            from scl_deepfake_audio_detection_tpu.utils.audio_io import (
+                                pcm16_encode,
+                            )
+
+                            wav = pcm16_encode(wav)
                         out_q.put((wav, utts))
                 out_q.put(None)
             except BaseException as e:

@@ -196,9 +196,15 @@ def flash_available() -> bool:
             _flash_supported = False
         else:
             try:
+                # probe with the masked variant (kv_len < T) so the iota/
+                # where branch compiles too; head_dim/dtype still follow the
+                # probe shape, so this is best-effort — per-compile routing
+                # flakiness (see note above) can defeat any probe
                 z = jnp.zeros((1, 1, FLASH_MIN_SEQ, 64), jnp.bfloat16)
                 jax.block_until_ready(
-                    jax.jit(lambda a: _flash_forward(a, a, a, None))(z)
+                    jax.jit(
+                        lambda a: _flash_forward(a, a, a, FLASH_MIN_SEQ - 8)
+                    )(z)
                 )
                 _flash_supported = True
             except Exception:  # compile- or run-time rejection

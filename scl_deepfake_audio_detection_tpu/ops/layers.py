@@ -24,6 +24,14 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
+def dewire_pcm16(x: jnp.ndarray) -> jnp.ndarray:
+    """On-device inverse of the host wire format (utils.audio_io.pcm16_encode):
+    int16 PCM rescales to float32; anything else passes through.  Used by the
+    score step, the emb step and the device-aug composer so every jit entry
+    accepts either wire dtype."""
+    return x.astype(jnp.float32) / 32768.0 if x.dtype == jnp.int16 else x
+
+
 def gelu(x: jnp.ndarray, approximate: bool = False) -> jnp.ndarray:
     """GELU. Exact (erf) by default for fp32 parity with the reference.
 

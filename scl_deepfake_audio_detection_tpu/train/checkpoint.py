@@ -80,8 +80,11 @@ def _to_host(v) -> np.ndarray:
 def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
     """Atomically save a pytree of arrays (+ JSON-able ``extra`` metadata).
 
-    Multi-process: collective — call from EVERY process (sharded leaves are
-    all-gathered); only process 0 writes the files."""
+    Multi-process: COLLECTIVE — call from EVERY process (sharded leaves are
+    all-gathered via process_allgather); only process 0 writes the files.
+    Gating the call to process 0 alone deadlocks the pod: process 0 waits
+    in the gather forever while the peers never enter it.  ``Engine.fit``
+    and the CLI already call it from all processes."""
     flat = {k: _to_host(v) for k, v in _flatten(tree).items()}
     if jax.process_index() != 0:
         return

@@ -84,8 +84,9 @@ def _eval_step(params, buffers, batch, *, model, loss_scope):
 
 
 def _score_step(params, buffers, wav, *, model):
-    if wav.dtype == jnp.int16:  # PCM16 wire format (EvalLoader wire_dtype)
-        wav = wav.astype(jnp.float32) / 32768.0
+    from scl_deepfake_audio_detection_tpu.ops.layers import dewire_pcm16
+
+    wav = dewire_pcm16(wav)  # PCM16 wire format (EvalLoader wire_dtype)
     return model.apply(params, wav, train=False, buffers=buffers).log_probs
 
 
@@ -259,8 +260,13 @@ class Engine:
             if log_fn:
                 log_fn(epoch, record)
 
-            val_acc = val_m.get("accuracy", 0.0) * 100.0
-            is_best = stopper(val_acc)
+            if val_m:
+                is_best = stopper(val_m.get("accuracy", 0.0) * 100.0)
+            else:
+                # no dev batches (e.g. a pod shard trimming a tiny dev list
+                # to zero): no signal — never early-stop on silence, and
+                # never crown a 'best' from it
+                is_best = False
             if save_dir:
                 # always keep a resumable last state: the reference only saves
                 # above its 90%-accuracy bar (main.py:43-45,400) and loses the

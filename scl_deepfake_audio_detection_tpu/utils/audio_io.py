@@ -121,6 +121,19 @@ def save_wav(path: str, x: np.ndarray, sr: int = 16000, subtype: str = "PCM_16")
         w.writeframes(pcm.tobytes())
 
 
+def pcm16_encode(x: np.ndarray) -> np.ndarray:
+    """float [-1, 1] -> int16 PCM — THE wire/quantization convention of the
+    framework (save_wav, EvalLoader/DeviceAugTrainLoader wire_dtype,
+    decode cache).  Lossless round trip for audio that was decoded from
+    16-bit sources (load_audio returns int16/32768 exactly)."""
+    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def pcm16_decode(x: np.ndarray) -> np.ndarray:
+    """int16 PCM -> float32 in [-1, 1) (inverse of pcm16_encode)."""
+    return x.astype(np.float32) / 32768.0
+
+
 def int16_scale(x: np.ndarray) -> np.ndarray:
     """Reproduce the reference's ``pydub_to_librosa`` int16-amplitude quirk
     (``datautils/audio_augmentor/utils.py:20-23``): augmentors that round-trip
