@@ -172,3 +172,31 @@ def test_native_encode_failure_translates_to_codec_unavailable(wav, monkeypatch,
     assert y.shape == wav.shape
     y2 = C.telephone_effect(wav, SR, encoding="g722")  # falls back to ulaw
     assert y2.shape == wav.shape
+
+
+def test_decoder_survives_corrupted_files(tmp_path, wav, rng):
+    """Truncated / bit-flipped / garbage inputs must raise ValueError (or
+    decode a prefix), never crash the process — eval sweeps hit damaged
+    files on real disks."""
+    p = str(tmp_path / "good.flac")
+    native.encode_audio(p, wav, SR, "flac")
+    blob = open(p, "rb").read()
+
+    cases = {
+        "truncated.flac": blob[: len(blob) // 3],
+        "bitflip.flac": bytes(
+            b ^ (0xFF if i in range(2000, 2032) else 0)
+            for i, b in enumerate(blob)
+        ),
+        "garbage.flac": bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+        "empty.flac": b"",
+    }
+    for name, data in cases.items():
+        f = tmp_path / name
+        f.write_bytes(data)
+        try:
+            y, sr = native.read_audio(str(f))
+            # partial decode is acceptable; output must be sane
+            assert np.isfinite(y).all() and sr > 0
+        except ValueError:
+            pass  # clean rejection is the other acceptable outcome
