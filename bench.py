@@ -10,10 +10,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _baseline_utt_per_sec():
+    """Measured denominator from scripts/measure_torch_baseline.py — the
+    reference model (torch, this host's CPU) scoring the same 64600-sample
+    eval shape.  A documented proxy: the reference publishes no GPU
+    throughput (BASELINE.md:19)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["torch_cpu_reference_utt_per_sec"])
+    except Exception:
+        return None
 
 
 def main() -> int:
@@ -63,15 +78,22 @@ def main() -> int:
     assert np.isfinite(checksum)
 
     utt_per_sec = batch * iters / dt
+    baseline = _baseline_utt_per_sec()
     result = {
         "metric": "eval_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 2),
         "unit": "utt/s",
-        # the reference publishes no throughput baseline (BASELINE.md:19);
-        # vs_baseline tracks the >=10x-single-GPU north star once a GPU
-        # measurement exists
-        "vs_baseline": None,
+        # denominator: measured torch-CPU reference-model throughput
+        # (BASELINE_MEASURED.json — the reference publishes no GPU number,
+        # BASELINE.md:19; the proxy and its caveat are recorded there)
+        "vs_baseline": (
+            round(utt_per_sec / baseline, 1) if baseline else None
+        ),
         "detail": {
+            "baseline": (
+                f"torch-CPU reference proxy {baseline} utt/s "
+                "(BASELINE_MEASURED.json)" if baseline else None
+            ),
             "backend": jax.default_backend(),
             "batch": batch,
             "samples": samples,

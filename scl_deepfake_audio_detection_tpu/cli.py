@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_aug", action="store_true", default=False,
                    help="compose view batches on the accelerator (RawBoost/"
                         "noise/reverb as one jit program; host only decodes)")
+    p.add_argument("--snr_mode", type=str, default="reference",
+                   choices=["reference", "rms"],
+                   help="--device_aug noise/reverb semantics: 'reference' = "
+                        "the pydub gain formula + int16-amplitude quirk "
+                        "(matches the host/reference training distribution); "
+                        "'rms' = textbook RMS-power SNR mix at signal scale")
     p.add_argument("--jax_cache", type=str, default="/tmp/scl_tpu_jax_cache",
                    help="persistent XLA compilation cache dir ('' disables); "
                         "repeat CLI runs skip the ~30s first compile")
@@ -102,9 +108,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device wire format for eval batches and "
                         "--device_aug raw stacks; int16 halves PCIe/tunnel "
                         "transfer and is lossless for PCM16 audio")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="save last.ckpt every N epochs (best checkpoints and "
+                        "the final epoch always save; a 300M full-state "
+                        "checkpoint is ~3.8GB)")
+    p.add_argument("--sync_ckpt", action="store_true", default=False,
+                   help="disable the async checkpoint writer (npz/disk "
+                        "writes then block the epoch loop)")
     p.add_argument("--warm_cache", action="store_true", default=False,
                    help="pre-populate the offline augmentation cache for the "
                         "train+dev lists (needs online_aug: false), then exit")
+    # weights-day parity harness (train/parity.py)
+    p.add_argument("--parity_check", type=str, default=None,
+                   help="reference score file (e.g. docs/asvspoof2019_conf-3"
+                        ".txt): convert --model_path / --ssl_checkpoint, "
+                        "score the reference-scored utts present under "
+                        "--database_path through the eval path, and diff "
+                        "row-by-row; exit 0 iff all within --parity_tol")
+    p.add_argument("--parity_n", type=int, default=200,
+                   help="max utts to score for --parity_check (0 = all)")
+    p.add_argument("--parity_tol", type=float, default=1e-2,
+                   help="per-row |score diff| tolerance for --parity_check")
     # analysis mode (replaces Result.ipynb)
     p.add_argument("--analyze", type=str, default=None, help="score file to analyze")
     p.add_argument("--protocol", type=str, default=None, help="protocol for --analyze")
@@ -294,6 +318,8 @@ def main(argv=None) -> int:
         mesh_shape=[int(x) for x in args.mesh.split(",")] if args.mesh else None,
         loss_scope=args.loss_scope,
         zero1=args.zero1,
+        ckpt_every=args.ckpt_every,
+        async_ckpt=not args.sync_ckpt,
     )
 
     model = _build_model(args, cfg)
@@ -313,8 +339,28 @@ def main(argv=None) -> int:
     resume_opt = resume_epoch = None
     if args.model_path:
         if args.model_path.endswith(".pth"):
-            print("note: reference .pth head checkpoints need the matching SSL "
-                  "weights; use train/checkpoint.load_reference_head_checkpoint")
+            # a reference epoch_N.pth: full wav2vec2_linear_nll state dict
+            # (embedded fairseq SSL + head) -> our param pytree
+            from scl_deepfake_audio_detection_tpu.models import convert
+            from scl_deepfake_audio_detection_tpu.models.linear_nll import (
+                LinearNLL,
+            )
+
+            if not isinstance(model, LinearNLL):
+                print("reference .pth loading is implemented for the "
+                      "wav2vec2_linear_nll model (the one behind every "
+                      "published checkpoint); use --config conf-N-linear",
+                      file=sys.stderr)
+                return 2
+            sd = ckpt.load_reference_head_checkpoint(args.model_path)
+            params, ssl_cfg = convert.from_reference_model_checkpoint(
+                sd, like=model.ssl
+            )
+            if ssl_cfg.encoder_dim != model.ssl.encoder_dim:
+                print(f"warning: checkpoint SSL dim {ssl_cfg.encoder_dim} != "
+                      f"model config {model.ssl.encoder_dim}", file=sys.stderr)
+            print(f"loaded reference checkpoint {args.model_path} "
+                  f"({ssl_cfg.encoder_layers}-layer SSL)")
         else:
             tree, extra = ckpt.load(args.model_path)
             params = tree["params"] if "params" in tree else tree
@@ -339,6 +385,26 @@ def main(argv=None) -> int:
             print(f"resuming full train state at epoch {resume_epoch}")
 
     desc = DATASETS.get(cfg.data.name)
+
+    # --- weights-day parity check ---------------------------------------------
+    if args.parity_check:
+        from scl_deepfake_audio_detection_tpu.train.parity import (
+            run_parity_check,
+        )
+
+        report = run_parity_check(
+            engine, params, buffers, args.parity_check, args.database_path,
+            use_eval_subdir=desc["eval_subdir"],
+            padding_type=args.padding_type,
+            fmt=args.score_format,
+            n=args.parity_n,
+            tol=args.parity_tol,
+            batch_size=max(args.batch_size, 1),
+            num_workers=args.num_workers,
+            compute_dtype=args.compute_dtype,
+        )
+        print(report)
+        return 0 if report.ok else 1
 
     # --- serve mode: persistent scorer, wav paths on stdin ---------------------
     if args.serve:
@@ -476,7 +542,7 @@ def main(argv=None) -> int:
         )
         composer = DeviceViewComposer(
             cfg.rawboost, noise_bank, rir_bank, fs=spec.wav_samp_rate,
-            seed=args.seed,
+            seed=args.seed, snr_mode=args.snr_mode,
         )
         print(f"device augmentation: noise bank {noise_bank.shape}, "
               f"rir bank {rir_bank.shape}")

@@ -14,9 +14,19 @@ same cache ahead of time with a thread pool, enumerating exactly the
 (Additional spoofs in augall_5 are used un-augmented — see
 ``SCLViewBatchBuilder.build`` — so they are not cached.)
 
-Cache-file layout and PCM16 storage match the lazy path byte-for-byte: jobs
-run through the same registry wrappers (``data/augment_registry._cached``),
-so a warmed cache and a lazily-grown cache are interchangeable.
+Cache-file layout and PCM16 storage match the lazy path exactly: jobs run
+through the same registry wrappers (``data/augment_registry._cached``), so a
+warmed cache is read back by training identically to a lazily-grown one.
+
+RNG provenance: the *contents* of warmed vs lazily-grown entries are two
+distinct deterministic streams.  The lazy path draws from the per-item
+``(seed, epoch, idx)`` generator at whatever point in batch construction the
+cache miss occurs, so its stream depends on access order; warm-up seeds each
+job independently as ``SeedSequence([seed, job_idx])`` over the sorted job
+list.  Both are reproducible run-to-run, but a given utterance's cached
+augmentation differs between the two provenances — pick one (warm everything,
+or warm nothing) for a reproducible training recipe.  The reference has the
+same property (unseeded ``np.random`` in forked workers, survey §7 item 6).
 """
 
 from __future__ import annotations
@@ -88,7 +98,9 @@ def warm_aug_cache(
     """Pre-populate the offline augmentation cache for one builder.
 
     Deterministic given ``seed`` (defaults to the builder's seed); existing
-    entries are left untouched so re-runs and partially-grown caches are safe.
+    entries are left untouched so re-runs and partially-grown caches are
+    safe.  Note the module-docstring RNG-provenance caveat: warmed entries
+    are a different deterministic stream than lazily-grown ones.
     """
     res = builder.res
     if res.online or not res.aug_dir:

@@ -71,6 +71,25 @@ class SCLBatchSpec:
         raise ValueError(f"unknown variant {self.variant!r}")
 
 
+def _sample_distinct(
+    rng: np.random.Generator, n: int, k: int, exclude: Optional[int] = None
+) -> np.ndarray:
+    """Reference sampling semantics (``asvspoof_2019_augall_3.py:127-130`` and
+    every other variant): ``idxs.remove(idx)`` then
+    ``np.random.choice(idxs, k, replace=False)`` — k *distinct* picks with the
+    anchor excluded.  Only when the pool is smaller than k (tiny dev/test
+    lists the reference would crash on) do we fall back to with-replacement,
+    so the view count V stays static for the compiled train step."""
+    pool = np.arange(n)
+    if exclude is not None:
+        pool = pool[pool != exclude]
+    if len(pool) >= k:
+        return rng.choice(pool, k, replace=False)
+    if len(pool) == 0:  # degenerate single-file list: reuse the anchor
+        pool = np.arange(n)
+    return rng.choice(pool, k, replace=True)
+
+
 class SCLViewBatchBuilder:
     """Builds (utt_id, wav [V, trim_length], labels [V]) anchor groups."""
 
@@ -167,10 +186,12 @@ class SCLViewBatchBuilder:
             return voc, voc_aug
 
         def load_additional_reals():
-            # with replacement over the full list, like the reference's
-            # np.random.choice(self.list_IDs, n) (asvspoof_2019_augall_3.py:
-            # 127-130) — also keeps tiny dev lists (< n others) working
-            picks = rng.choice(len(self.files), spec.num_additional_real)
+            # distinct picks with the anchor excluded
+            # (asvspoof_2019_augall_3.py:127-130: idxs.remove(idx) +
+            # replace=False); replacement fallback only for tiny lists
+            picks = _sample_distinct(
+                rng, len(self.files), spec.num_additional_real, exclude=idx
+            )
             return [
                 (self._load(os.path.join(self.bonafide_dir, self.files[i])),
                  os.path.join(self.bonafide_dir, self.files[i]))
@@ -178,8 +199,9 @@ class SCLViewBatchBuilder:
             ]
 
         def load_additional_spoofs():
+            # distinct spoof picks (SCL_normal.py:139 / augall_5: replace=False)
             pool = self.spoof_list
-            picks = rng.choice(len(pool), spec.num_additional_spoof)
+            picks = _sample_distinct(rng, len(pool), spec.num_additional_spoof)
             return [
                 (self._load(os.path.join(pool[i][0], pool[i][1])),
                  os.path.join(pool[i][0], pool[i][1]))
@@ -235,11 +257,12 @@ class SCLViewBatchBuilder:
         rng = self._rng(idx, epoch)
         utt = self.files[idx]
         anchor = self._load(os.path.join(self.bonafide_dir, utt))
-        # with replacement over the full list (reference semantics,
-        # asvspoof_2019_augall_3.py:127-130)
+        # distinct picks, anchor excluded (asvspoof_2019_augall_3.py:127-130)
         reals = [
             self._load(os.path.join(self.bonafide_dir, self.files[i]))
-            for i in rng.choice(len(self.files), spec.num_additional_real)
+            for i in _sample_distinct(
+                rng, len(self.files), spec.num_additional_real, exclude=idx
+            )
         ] if spec.num_additional_real else []
         voc = [
             self._load(os.path.join(self.vocoded_dir, f"{v}_{utt}"))
@@ -247,7 +270,9 @@ class SCLViewBatchBuilder:
         ] if spec.variant != "scl_normal" else []
         spoofs = []
         if spec.num_additional_spoof and self.spoof_list:
-            picks = rng.choice(len(self.spoof_list), spec.num_additional_spoof)
+            picks = _sample_distinct(
+                rng, len(self.spoof_list), spec.num_additional_spoof
+            )
             spoofs = [
                 self._load(os.path.join(self.spoof_list[i][0], self.spoof_list[i][1]))
                 for i in picks

@@ -13,8 +13,20 @@ draws filter designs; everything else is one jit program over the whole
            additional reals [G, n_real, T], noise bank [N_noise, T_noise],
            RIR bank [N_rir, T_rir]  (banks live in HBM across steps)
   on chip  RawBoost LnL+ISD (batched FFT convolution, dsp/rawboost_jax),
-           background-noise mixing at U(10,40) dB SNR over random bank crops,
-           FFT reverb with a random RIR, label vector assembly
+           background-noise mixing at integer SNR in [5, 15] dB over random
+           bank crops, FFT reverb with a random RIR, label vector assembly
+
+Noise/reverb semantics (``snr_mode``):
+  'reference' (default) reproduces the host/reference distribution exactly:
+    the pydub gain formula ``SNR_dB * noise_dBFS / signal_dBFS`` applied to
+    the *signal* with the noise overlaid unscaled
+    (``audio_augmentor/background_noise.py:45-56``), plus the int16-amplitude
+    pydub round-trip quirk (``audio_augmentor/utils.py:20-23``) on the noise
+    and reverb views — so ``--device_aug`` trains on the same augmentation
+    distribution as the host path (parity pinned in
+    ``tests/test_device_pipeline.py``).
+  'rms' is the textbook RMS-power SNR mix at signal scale — cleaner, but a
+    *different* distribution than the reference recipe.
 
 Views follow the conf-3 recipe (``asvspoof_2019_augall_3.py:103-146``):
 anchor, RawBoost(anchor), noise(anchor), reverb(anchor), additional reals,
@@ -38,15 +50,47 @@ from scl_deepfake_audio_detection_tpu.dsp import rawboost_jax as RBJ
 from scl_deepfake_audio_detection_tpu.utils.config import RawBoostConfig
 
 
+_I16 = 32768.0
+
+
 def mix_noise_at_snr(
     wav: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray
 ) -> jnp.ndarray:
-    """wav [..., T] + noise [..., T] at per-row SNR (dB); RMS-power scaling
-    like the MUSAN overlay (``audio_augmentor/background_noise.py:42-60``)."""
+    """wav [..., T] + noise [..., T] at per-row SNR (dB); textbook RMS-power
+    scaling (``snr_mode='rms'`` — NOT the reference's formula, see module
+    docstring)."""
     pw = jnp.mean(wav**2, axis=-1, keepdims=True)
     pn = jnp.mean(noise**2, axis=-1, keepdims=True) + 1e-12
     gain = jnp.sqrt(pw / (pn * 10.0 ** (snr_db / 10.0)))
     return wav + gain * noise
+
+
+def mix_noise_pydub(
+    wav: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray
+) -> jnp.ndarray:
+    """The reference MUSAN overlay, exactly (``snr_mode='reference'``):
+    ``gain_db = SNR_dB * noise_dBFS / signal_dBFS`` applied to the *signal*,
+    noise overlaid unscaled, at int16 amplitude with int16 clipping
+    (``background_noise.py:45-56`` + the ``librosa_to_pydub`` round-trip
+    quirk ``utils.py:20-23``).  Inputs are [-1,1] float; output is
+    int16-amplitude float32 like the host path (``dsp/augment.py``
+    ``background_noise``)."""
+    sig = jnp.trunc(wav * _I16)  # librosa_to_pydub: (x*2**15).astype(int16)
+    nse = jnp.trunc(noise * _I16)
+
+    def rms(x):
+        return jnp.sqrt(jnp.mean(x**2, axis=-1, keepdims=True))
+
+    def dbfs(x):  # pydub AudioSegment.dBFS: rms relative to int16 full scale
+        return 20.0 * jnp.log10(jnp.maximum(rms(x), 1e-6) / _I16)
+
+    gain_db = snr_db * dbfs(nse) / dbfs(sig)
+    out = sig * 10.0 ** (gain_db / 20.0) + nse
+    # A silent noise row only occurs with the build_banks missing-noise_path
+    # fallback; the reference formula would zero the signal (gain -> -inf dB),
+    # but the fallback's contract is "near-no-op", so pass the signal through.
+    out = jnp.where(rms(nse) > 0.0, out, sig)
+    return jnp.clip(out, -_I16, _I16 - 1.0)
 
 
 def fft_reverb(wav: jnp.ndarray, rir: jnp.ndarray) -> jnp.ndarray:
@@ -74,34 +118,58 @@ def _random_bank_rows(key, bank: jnp.ndarray, rows: int, length: int):
     )(sel, starts)
 
 
-def _device_augment_all(x, chains, noise_bank, rir_bank, key, cfg):
+def _device_augment_all(x, chains, noise_bank, rir_bank, key, cfg,
+                        snr_mode="reference"):
     """x [R, T] -> (rawboosted, noisy, reverbed) [R, T] each — the three
-    device-able augmentations applied to every row (one batched program)."""
+    device-able augmentations applied to every row (one batched program).
+
+    In 'reference' mode the noise and reverb views come out at int16
+    amplitude (the pydub round-trip quirk) with an integer SNR draw in
+    [5, 15] dB — exactly the host/reference distribution; RawBoost stays at
+    signal scale in both modes (the reference's RawBoost is plain numpy, no
+    pydub round trip)."""
     r, t = x.shape
     k_rb, k_noise, k_snr, k_rir = jax.random.split(key, 4)
     rb = RBJ.isd_additive_noise(
         RBJ.lnl_convolutive_noise(x, chains), k_rb, cfg.P, cfg.g_sd
     )
     noise = _random_bank_rows(k_noise, noise_bank, r, t)
-    snr = jax.random.uniform(k_snr, (r, 1), minval=5.0, maxval=15.0)
-    noisy = mix_noise_at_snr(x, noise, snr)
     rirs = _random_bank_rows(k_rir, rir_bank, r, rir_bank.shape[1])
-    reverbed = fft_reverb(x, rirs)
+    if snr_mode == "reference":
+        # random.randint(5, 15) is inclusive on both ends
+        snr = jax.random.randint(k_snr, (r, 1), 5, 16).astype(x.dtype)
+        noisy = mix_noise_pydub(x, noise, snr)
+        # host reverb: peak-norm then _to_int16 (dsp/augment.py reverb).
+        # Peak-norm makes the peak sample exactly +-1.0; at +1.0 the
+        # reference's (y*32768).astype(int16) OVERFLOWS to -32768 — a real
+        # one-sample-per-utterance quirk of the training distribution,
+        # reproduced here (pinned by the host-parity test).
+        reverbed = jnp.trunc(fft_reverb(x, rirs) * _I16)
+        reverbed = jnp.where(reverbed >= _I16, reverbed - 2.0 * _I16, reverbed)
+    elif snr_mode == "rms":
+        snr = jax.random.uniform(k_snr, (r, 1), minval=5.0, maxval=15.0)
+        noisy = mix_noise_at_snr(x, noise, snr)
+        reverbed = fft_reverb(x, rirs)
+    else:
+        raise ValueError(f"unknown snr_mode {snr_mode!r}")
     return rb, noisy, reverbed
 
 
-def _device_augment_random(x, chains, noise_bank, rir_bank, key, cfg):
+def _device_augment_random(x, chains, noise_bank, rir_bank, key, cfg,
+                           snr_mode="reference"):
     """Per-row random choice among the three augmentations (the aug_2 /
     scl_normal 'random method per view' semantics).  All three branches run
     batched and the per-row result is selected — 3x the augment FLOPs, but
     fully vectorized (no per-row control flow)."""
-    rb, noisy, reverbed = _device_augment_all(x, chains, noise_bank, rir_bank,
-                                              jax.random.fold_in(key, 0), cfg)
+    rb, noisy, reverbed = _device_augment_all(
+        x, chains, noise_bank, rir_bank, jax.random.fold_in(key, 0), cfg,
+        snr_mode,
+    )
     choice = jax.random.randint(jax.random.fold_in(key, 1), (x.shape[0], 1), 0, 3)
     return jnp.where(choice == 0, rb, jnp.where(choice == 1, noisy, reverbed))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "variant"))
+@functools.partial(jax.jit, static_argnames=("cfg", "variant", "snr_mode"))
 def compose_views(
     anchors: jnp.ndarray,  # [G, T]
     reals: jnp.ndarray,  # [G, n_real, T]
@@ -113,6 +181,7 @@ def compose_views(
     key: jax.Array,
     cfg: RawBoostConfig,
     variant: str = "augall_3",
+    snr_mode: str = "reference",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (views [G, V, T], labels [G, V]) on device, per dataset variant
     (the ``datautils/*`` __getitem__ recipes, SURVEY §2 A11/A12).
@@ -146,7 +215,7 @@ def compose_views(
     c_spoof = lnl_chains[g + g * n_voc + g * n_real :]
 
     rb_a, noisy_a, rev_a = _device_augment_all(
-        anchors, c_anchor, noise_bank, rir_bank, k_a, cfg
+        anchors, c_anchor, noise_bank, rir_bank, k_a, cfg, snr_mode
     )
     aug3_anchor = jnp.stack([rb_a, noisy_a, rev_a], axis=1)  # [G, 3, T]
 
@@ -162,10 +231,10 @@ def compose_views(
         neg = jnp.concatenate([vocoded, rb_voc, spoofs], axis=1)
     elif variant == "aug_2":
         rand_real = _device_augment_random(
-            flat(reals), c_real, noise_bank, rir_bank, k_r, cfg
+            flat(reals), c_real, noise_bank, rir_bank, k_r, cfg, snr_mode
         ).reshape(g, n_real, t)
         rand_voc = _device_augment_random(
-            flat(vocoded), c_voc, noise_bank, rir_bank, k_v, cfg
+            flat(vocoded), c_voc, noise_bank, rir_bank, k_v, cfg, snr_mode
         ).reshape(g, n_voc, t)
         pos = jnp.concatenate(
             [anchors[:, None], aug3_anchor, reals, rand_real], axis=1
@@ -173,10 +242,10 @@ def compose_views(
         neg = jnp.concatenate([vocoded, rand_voc], axis=1)
     elif variant == "scl_normal":
         rand_real = _device_augment_random(
-            flat(reals), c_real, noise_bank, rir_bank, k_r, cfg
+            flat(reals), c_real, noise_bank, rir_bank, k_r, cfg, snr_mode
         ).reshape(g, n_real, t)
         rand_spoof = _device_augment_random(
-            flat(spoofs), c_spoof, noise_bank, rir_bank, k_s, cfg
+            flat(spoofs), c_spoof, noise_bank, rir_bank, k_s, cfg, snr_mode
         ).reshape(g, n_spoof, t)
         pos = jnp.concatenate(
             [anchors[:, None], aug3_anchor, reals, rand_real], axis=1
@@ -184,7 +253,7 @@ def compose_views(
         neg = jnp.concatenate([spoofs, rand_spoof], axis=1)
     elif variant == "xinwang":
         rb_v, noisy_v, rev_v = _device_augment_all(
-            flat(vocoded), c_voc, noise_bank, rir_bank, k_v, cfg
+            flat(vocoded), c_voc, noise_bank, rir_bank, k_v, cfg, snr_mode
         )
         aug3_voc = jnp.stack([rb_v, noisy_v, rev_v], axis=1).reshape(
             g, 3 * n_voc, t
@@ -223,8 +292,10 @@ class DeviceViewComposer:
         nb: int = 1024,
         seed: int = 0,
         pool_size: int = 256,
+        snr_mode: str = "reference",
     ):
         self.cfg = cfg
+        self.snr_mode = snr_mode
         self.fs = fs
         self.nb = nb
         self.noise_bank = jnp.asarray(noise_bank, jnp.float32)
@@ -246,7 +317,7 @@ class DeviceViewComposer:
         return compose_views(
             jnp.asarray(anchors), jnp.asarray(reals), jnp.asarray(vocoded),
             jnp.asarray(spoofs), self.noise_bank, self.rir_bank, chains, key,
-            self.cfg, variant,
+            self.cfg, variant, self.snr_mode,
         )
 
 

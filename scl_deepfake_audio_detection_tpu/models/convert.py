@@ -217,6 +217,101 @@ def _assemble(convs, sd, pos_conv, layers, *, post_ln, proj, final_ln):
     return jax.tree.map(jnp.asarray, params)
 
 
+def infer_config_from_fairseq_sd(sd: StateDict, like: XLSRConfig = None) -> XLSRConfig:
+    """Introspect architecture dims from a fairseq wav2vec2 state dict.
+
+    Conv strides and head counts are not recoverable from weight shapes, so
+    they come from ``like`` (default: the XLS-R family values, scaled for
+    head count by keeping head_dim=64).
+    """
+    import re as _re
+
+    base = like or XLSRConfig.xlsr_300m()
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := _re.match(r"encoder\.layers\.(\d+)\.", k))
+    )
+    d = _np(sd["encoder.layer_norm.weight"]).shape[0]
+    ffn = _np(sd["encoder.layers.0.fc1.weight"]).shape[0]
+    n_convs = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := _re.match(r"feature_extractor\.conv_layers\.(\d+)\.", k))
+    )
+    conv_layers = []
+    for i in range(n_convs):
+        w = _np(sd[f"feature_extractor.conv_layers.{i}.0.weight"])
+        out_ch, _, kern = w.shape
+        stride = (
+            base.conv_layers[i][2] if i < len(base.conv_layers) else 2
+        )
+        conv_layers.append((out_ch, kern, stride))
+    pos_w = None
+    for k in ("encoder.pos_conv.0.weight_v",
+              "encoder.pos_conv.0.parametrizations.weight.original1"):
+        if k in sd:
+            pos_w = _np(sd[k])
+    heads = base.num_heads if d == base.encoder_dim else max(d // 64, 1)
+    return XLSRConfig(
+        conv_layers=tuple(conv_layers),
+        conv_bias="feature_extractor.conv_layers.0.0.bias" in sd,
+        encoder_dim=d,
+        encoder_layers=n_layers,
+        ffn_dim=ffn,
+        num_heads=heads,
+        pos_conv_kernel=pos_w.shape[2] if pos_w is not None else base.pos_conv_kernel,
+        pos_conv_groups=(
+            d // pos_w.shape[1] if pos_w is not None else base.pos_conv_groups
+        ),
+    )
+
+
+def from_reference_model_checkpoint(
+    sd: StateDict, cfg: XLSRConfig = None, like: XLSRConfig = None
+):
+    """Full reference ``epoch_N.pth`` (the whole ``wav2vec2_linear_nll``
+    Model state dict saved by ``main.py:44``) -> (complete LinearNLL param
+    pytree, XLSRConfig).
+
+    The SSL weights come from the embedded fairseq submodule
+    (``ssl_model.model.*`` — ``model/xlsr.py:14-21`` holds the fairseq model
+    as ``self.model``); the head from ``LL`` and ``backend.m_frame_level.
+    {0,3,6}`` / ``backend.m_utt_level`` (``wav2vec2_linear_nll.py:49-67,107,
+    114``).  ``first_bn``/``first_bn1``/``loss_CE`` entries are
+    declared-but-unused in the reference forward (``:108-110``) and are
+    ignored.  ``module.``/``_orig_mod.`` prefixes must already be stripped
+    (``train/checkpoint.load_reference_head_checkpoint`` does that).
+
+    ``cfg``: optional XLSRConfig; default introspects dims from the weights
+    (XLS-R strides).  Pass explicitly for non-standard conv strides.
+    """
+    ssl_sd = {
+        k[len("ssl_model.model."):]: v
+        for k, v in sd.items()
+        if k.startswith("ssl_model.model.")
+    }
+    if not ssl_sd:
+        raise ValueError(
+            "checkpoint has no ssl_model.model.* keys — not a full reference "
+            "wav2vec2_linear_nll state dict (head-only checkpoints need "
+            "--ssl_checkpoint for the SSL weights)"
+        )
+    cfg = cfg or infer_config_from_fairseq_sd(ssl_sd, like)
+    import jax
+    import jax.numpy as jnp
+
+    params = {
+        "ssl": from_fairseq_state_dict(ssl_sd, cfg),
+        "ll": _lin(sd, "LL"),
+        "backend": {
+            "frame": [_lin(sd, f"backend.m_frame_level.{i}") for i in (0, 3, 6)],
+            "out": _lin(sd, "backend.m_utt_level"),
+        },
+    }
+    return jax.tree.map(jnp.asarray, params), cfg
+
+
 def load_fairseq_checkpoint(path: str):
     """Load ``xlsr2_300m.pt`` (torch pickle) -> (params, XLSRConfig).
 

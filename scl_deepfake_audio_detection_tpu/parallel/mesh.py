@@ -168,6 +168,23 @@ def shard_opt_state(opt_state, mesh: Mesh, min_size: int = _ZERO1_MIN_SIZE):
     )
 
 
+def _local_data_axis_size(mesh: Mesh) -> int:
+    """Number of 'data'-axis coordinates owned by this process — the
+    divisibility unit for per-process batch slices on a cross-process mesh."""
+    if "data" not in mesh.axis_names:
+        return 1
+    axis = mesh.axis_names.index("data")
+    me = jax.process_index()
+    return sum(
+        1
+        for i in range(mesh.devices.shape[axis])
+        if any(
+            d.process_index == me
+            for d in np.take(mesh.devices, i, axis=axis).flat
+        )
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch on the mesh, leading axis over 'data'.
 
@@ -183,15 +200,24 @@ def shard_batch(batch, mesh: Mesh):
     ``jax.make_array_from_process_local_data``.
     """
     data_size = mesh.shape.get("data", 1)
-    multiproc = jax.process_count() > 1
+    # A mesh made only of this process's devices (e.g. the --multihost eval
+    # path builds a per-process local mesh, cli.py) behaves exactly like the
+    # single-process case: data_size is already the local device count and
+    # plain device_put is correct.  Only a mesh that actually spans processes
+    # needs the local-slice assembly below.
+    spans_processes = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
     def place(x):
         if not hasattr(x, "ndim"):  # utt-id lists ride along untouched
             return x
-        if multiproc:
-            # local leading dim must divide the *local* slice of the data
-            # axis; global shape is inferred from the sharding
-            local_data = max(1, data_size // jax.process_count())
+        if spans_processes:
+            # local leading dim must divide this process's slice of the data
+            # axis — derived from the mesh itself, not process_count(), so
+            # unevenly-spread meshes get the right requirement and message;
+            # global shape is inferred from the sharding
+            local_data = max(1, _local_data_axis_size(mesh))
             if x.ndim > 0 and x.shape[0] % local_data == 0:
                 return jax.make_array_from_process_local_data(
                     NamedSharding(mesh, batch_pspec(x.ndim)), x

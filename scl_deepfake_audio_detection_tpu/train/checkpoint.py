@@ -77,17 +77,15 @@ def _to_host(v) -> np.ndarray:
     return np.asarray(v)
 
 
-def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
-    """Atomically save a pytree of arrays (+ JSON-able ``extra`` metadata).
+def _gather_flat(tree) -> Dict[str, np.ndarray]:
+    """Snapshot a pytree to host numpy (collective for non-addressable
+    leaves — every process must call this)."""
+    return {k: _to_host(v) for k, v in _flatten(tree).items()}
 
-    Multi-process: COLLECTIVE — call from EVERY process (sharded leaves are
-    all-gathered via process_allgather); only process 0 writes the files.
-    Gating the call to process 0 alone deadlocks the pod: process 0 waits
-    in the gather forever while the peers never enter it.  ``Engine.fit``
-    and the CLI already call it from all processes."""
-    flat = {k: _to_host(v) for k, v in _flatten(tree).items()}
-    if jax.process_index() != 0:
-        return
+
+def _write_flat(path: str, flat: Dict[str, np.ndarray],
+                extra: Optional[Dict[str, Any]]) -> None:
+    """Atomic npz + json-sidecar write (process-0 filesystem work only)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     meta = {"keys": sorted(flat), "extra": extra or {}}
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
@@ -101,6 +99,20 @@ def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
         raise
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
+
+
+def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Atomically save a pytree of arrays (+ JSON-able ``extra`` metadata).
+
+    Multi-process: COLLECTIVE — call from EVERY process (sharded leaves are
+    all-gathered via process_allgather); only process 0 writes the files.
+    Gating the call to process 0 alone deadlocks the pod: process 0 waits
+    in the gather forever while the peers never enter it.  ``Engine.fit``
+    and the CLI already call it from all processes."""
+    flat = _gather_flat(tree)
+    if jax.process_index() != 0:
+        return
+    _write_flat(path, flat, extra)
 
 
 def load(path: str) -> Tuple[Any, Dict[str, Any]]:
@@ -117,10 +129,15 @@ def load(path: str) -> Tuple[Any, Dict[str, Any]]:
 
 
 def save_train_state(
-    path: str, params, opt_state, epoch: int, rng_key, best: float, buffers=None
+    path: str, params, opt_state, epoch: int, rng_key, best: float,
+    buffers=None, writer: "Optional[AsyncWriter]" = None,
 ) -> None:
     """Full-state checkpoint: everything needed for exact resume (params,
-    optimizer, BN running-stat buffers, epoch, RNG)."""
+    optimizer, BN running-stat buffers, epoch, RNG).
+
+    ``writer``: optional ``AsyncWriter`` — the device->host gather still runs
+    here synchronously (collective order; donated device buffers), but the
+    npz serialization + disk write is handed to its background thread."""
     state = {
         "params": params,
         "opt_state_leaves": {
@@ -130,7 +147,56 @@ def save_train_state(
     }
     if buffers:
         state["buffers"] = buffers
-    save(path, state, extra={"epoch": epoch, "best": best})
+    extra = {"epoch": epoch, "best": best}
+    if writer is None:
+        save(path, state, extra=extra)
+    else:
+        writer.submit(path, _gather_flat(state), extra)
+
+
+class AsyncWriter:
+    """Overlaps checkpoint FILE WRITES with the next epoch's compute.
+
+    The caller still gathers leaves to host synchronously (the jitted train
+    step donates its input buffers, so the snapshot must complete before the
+    next step reuses them; ZeRO-1 all-gathers are collectives that must stay
+    in program order across processes).  Serialization + disk IO — the part
+    that is pure host work — runs on one background thread; at most one
+    write is in flight, and a failed write re-raises on the next submit/wait
+    so errors are never silently dropped.  Non-zero processes no-op (only
+    process 0 owns the filesystem)."""
+
+    def __init__(self):
+        self._thread = None
+        self._error: Optional[BaseException] = None
+
+    def submit(self, path: str, flat: Dict[str, np.ndarray],
+               extra: Optional[Dict[str, Any]]) -> None:
+        if jax.process_index() != 0:
+            return
+        self.wait()
+        import threading
+
+        def run():
+            try:
+                _write_flat(path, flat, extra)
+            except BaseException as e:  # surfaced on next submit/wait
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Join the in-flight write (call at end of training / before
+        reading the file back); re-raises any writer failure."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def load_train_state(path: str, opt_state_template):

@@ -225,6 +225,9 @@ class Engine:
 
         cfg = self.cfg
         stopper = EarlyStop()
+        ckpt_every = max(int(getattr(cfg, "ckpt_every", 1)), 1)
+        writer = ckpt.AsyncWriter() if getattr(cfg, "async_ckpt", True) else None
+        last_epoch = cfg.start_epoch + cfg.num_epochs - 1
         # checkpoint saves are collectives (sharded leaves all-gather inside
         # ckpt.save), so every process runs them; plain file writes (metrics
         # JSONL, tensorboard) happen on process 0 only
@@ -268,21 +271,31 @@ class Engine:
                 # never crown a 'best' from it
                 is_best = False
             if save_dir:
-                # always keep a resumable last state: the reference only saves
-                # above its 90%-accuracy bar (main.py:43-45,400) and loses the
-                # whole run otherwise
-                ckpt.save_train_state(
-                    os.path.join(save_dir, "last.ckpt"),
-                    params, opt_state, epoch, rng_key, stopper.best,
-                    buffers=buffers,
+                # keep a resumable last state (the reference only saves above
+                # its 90%-accuracy bar, main.py:43-45,400, and loses the run
+                # otherwise) — on a --ckpt_every cadence, plus always at the
+                # final/early-stop epoch; npz+disk writes overlap the next
+                # epoch via AsyncWriter unless async_ckpt is off
+                due = (
+                    (epoch - cfg.start_epoch) % ckpt_every == ckpt_every - 1
+                    or epoch == last_epoch
+                    or stopper.early_stop
                 )
+                if due:
+                    ckpt.save_train_state(
+                        os.path.join(save_dir, "last.ckpt"),
+                        params, opt_state, epoch, rng_key, stopper.best,
+                        buffers=buffers, writer=writer,
+                    )
                 if is_best:
                     ckpt.save_train_state(
                         os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
                         params, opt_state, epoch, rng_key, stopper.best,
-                        buffers=buffers,
+                        buffers=buffers, writer=writer,
                     )
             if stopper.early_stop:
                 break
+        if writer is not None:
+            writer.wait()
         tb.close()
         return params, buffers, opt_state

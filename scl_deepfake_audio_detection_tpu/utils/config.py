@@ -132,6 +132,12 @@ class TrainConfig:
     zero1_min_size: int = 1 << 16  # leaves below this stay replicated
     check_numerics: bool = False  # per-step host NaN guard (syncs every step;
     # off by default — epoch-end aggregation catches NaNs once per epoch free)
+    ckpt_every: int = 1  # save last.ckpt every N epochs (best saves + the
+    # final epoch always write; at 300M a full-state ckpt is ~3.8GB, so
+    # long runs on slow links raise this)
+    async_ckpt: bool = True  # overlap the checkpoint npz/disk write with the
+    # next epoch (device->host gather stays synchronous: the jitted step
+    # donates its buffers, and ZeRO-1 gathers are collectives)
 
     def model_tag(self) -> str:
         # Output dir naming scheme: model_{loss}_{epochs}_{bs}_{minlr}[_{comment}]

@@ -99,3 +99,54 @@ def test_auto_dispatch_probes_flash_support(monkeypatch):
             np.asarray(out), np.asarray(A.attention_reference(q, q, q)),
             rtol=1e-6,
         )
+
+
+@pytest.mark.parametrize("t,kv_len", [(1024, None), (1024, 900)])
+def test_flash_backward_parity_long_seq(rng, t, kv_len):
+    """Pallas flash backward (dq/dk/dv from saved logsumexp) == reference
+    grads at T=1024, incl. key-padding masking and non-block-multiple
+    kv_len (VERDICT round-1 item 5)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(rng, b=1, h=2, t=t, d=16)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attn.attention_reference(q, k, v, kv_len) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(attn.flash_attention(q, k, v, kv_len) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_backward_never_materializes_tt(rng):
+    """The compiled flash grad program contains no [*, T, T] buffer, the
+    reference grad does — the memory claim of the flash backward."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = 2048
+    q, k, v = _qkv(rng, b=1, h=1, t=t, d=8)
+
+    def f_flash(q, k, v):
+        return jnp.sum(attn.flash_attention(q, k, v, None) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attn.attention_reference(q, k, v, None) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        flash_hlo = (
+            jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))
+            .lower(q, k, v).as_text()
+        )
+    ref_hlo = (
+        jax.jit(jax.grad(f_ref, argnums=(0, 1, 2))).lower(q, k, v).as_text()
+    )
+    assert f"{t}x{t}" in ref_hlo, "sanity: reference grad holds the score matrix"
+    assert f"{t}x{t}" not in flash_hlo, "flash grad must never shape a [T,T]"

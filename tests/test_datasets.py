@@ -215,9 +215,9 @@ def test_train_loader_multihost_shards_disjoint(db):
 
 
 def test_additional_reals_work_on_tiny_lists(db):
-    """Additional bonafides sample WITH replacement over the full list
-    (reference np.random.choice default, asvspoof_2019_augall_3.py:127-130)
-    — a 2-item dev list must serve num_additional_real=3 without error."""
+    """Pools smaller than num_additional_real fall back to with-replacement
+    (the reference's replace=False would crash) — a 2-item dev list must
+    serve num_additional_real=3 without error, keeping V static."""
     root, utts = db
     spec = spec_from_config("asvspoof_2019_augall_3",
                             dict(vocoders=VOCODERS[:1], augmentation_methods=[],
@@ -228,3 +228,24 @@ def test_additional_reals_work_on_tiny_lists(db):
     assert wav.shape[0] == spec.num_views
     raw = b.build_raw(0, epoch=0)
     assert raw["reals"].shape[0] == 3
+
+
+def test_additional_reals_distinct_and_exclude_anchor(db):
+    """Reference sampling semantics (asvspoof_2019_augall_3.py:127-130):
+    additional reals are k DISTINCT bonafides with the anchor excluded
+    (idxs.remove(idx) + np.random.choice(..., replace=False))."""
+    from scl_deepfake_audio_detection_tpu.data.datasets import _sample_distinct
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        picks = _sample_distinct(rng, 6, 3, exclude=2)
+        assert len(picks) == 3
+        assert len(set(picks.tolist())) == 3          # distinct
+        assert 2 not in picks                          # anchor excluded
+    # spoof pools (no anchor) are also distinct
+    for _ in range(50):
+        picks = _sample_distinct(rng, 4, 4)
+        assert sorted(picks.tolist()) == [0, 1, 2, 3]
+    # degenerate 1-file list: anchor reused rather than crashing
+    picks = _sample_distinct(rng, 1, 2, exclude=0)
+    assert picks.tolist() == [0, 0]

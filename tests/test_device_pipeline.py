@@ -213,3 +213,83 @@ def test_int16_wire_matches_float_path():
 
     np.testing.assert_array_equal(np.asarray(l_f), np.asarray(l_i))
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_i), atol=1e-6)
+
+
+# --- snr_mode='reference': device path == host/reference distribution --------
+
+
+def test_device_noise_matches_host_reference_semantics():
+    """mix_noise_pydub (device) reproduces dsp.augment.background_noise
+    (host, itself pinned against the reference pydub formula) sample-for-
+    sample given the same signal/noise/SNR draw."""
+    from scl_deepfake_audio_detection_tpu.data.device_pipeline import (
+        mix_noise_pydub,
+    )
+    from scl_deepfake_audio_detection_tpu.dsp.augment import background_noise
+
+    rng = np.random.default_rng(7)
+    x = np.clip(rng.normal(size=16000) * 0.2, -0.9, 0.9).astype(np.float32)
+    noise = np.clip(rng.normal(size=16000) * 0.05, -0.9, 0.9).astype(np.float32)
+    for snr in (5, 10, 15):
+        host = background_noise(
+            x, noise, np.random.default_rng(0), min_snr_db=snr, max_snr_db=snr
+        )
+        dev = np.asarray(
+            mix_noise_pydub(
+                jnp.asarray(x)[None], jnp.asarray(noise)[None],
+                jnp.asarray([[float(snr)]]),
+            )
+        )[0]
+        # outputs are int16-amplitude; tolerance is a couple of LSB
+        # (host computes the gain in f64 on quantized ints, device in f32)
+        np.testing.assert_allclose(dev, host, atol=2.0)
+
+
+def test_device_reverb_matches_host_reference_semantics():
+    """Reference-mode device reverb reproduces the host reverb's
+    peak-normalized int16-amplitude output (dsp.augment.reverb) over the
+    co-cropped region."""
+    from scl_deepfake_audio_detection_tpu.dsp.augment import reverb
+
+    rng = np.random.default_rng(3)
+    t = 8000
+    x = np.clip(rng.normal(size=t) * 0.2, -0.9, 0.9).astype(np.float32)
+    rir = (np.exp(-np.arange(400) / 60.0) * rng.normal(size=400) * 0.2).astype(
+        np.float32
+    )
+    rir[0] = 1.0  # direct path dominates -> the peak lands inside [0, t)
+    host = reverb(x, rir)[:t]
+    dev = np.asarray(
+        jnp.trunc(fft_reverb(jnp.asarray(x)[None], jnp.asarray(rir)[None]) * 32768.0)
+    )[0]
+    # the positive peak sample wraps to -32768 in the host's int16 round trip
+    dev = np.where(dev >= 32768.0, dev - 65536.0, dev)
+    np.testing.assert_allclose(dev, host, atol=2.0)
+
+
+def test_compose_views_reference_mode_scales(rng):
+    """In the default 'reference' mode the noise/reverb anchor views come out
+    at int16 amplitude (the pydub quirk the reference trained with) while the
+    anchor and RawBoost views stay at signal scale; 'rms' keeps everything at
+    signal scale."""
+    g, t = 2, 4000
+    anchors = np.clip(rng.normal(size=(g, t)) * 0.2, -0.9, 0.9).astype(np.float32)
+    reals = np.clip(rng.normal(size=(g, 1, t)) * 0.2, -0.9, 0.9).astype(np.float32)
+    voc = np.clip(rng.normal(size=(g, 3, t)) * 0.2, -0.9, 0.9).astype(np.float32)
+    noise = (rng.normal(size=(2, 8000)) * 0.05).astype(np.float32)
+    rir = np.eye(2, 400, dtype=np.float32)
+
+    for mode, big in (("reference", True), ("rms", False)):
+        composer = DeviceViewComposer(
+            RawBoostConfig(), noise, rir, seed=5, snr_mode=mode
+        )
+        views, _ = composer(anchors, reals, voc, jax.random.key(2))
+        views = np.asarray(views)
+        # views: [anchor, rawboost, noise, reverb, real, voc*3, rb(voc)*3]
+        assert np.abs(views[:, 0]).max() <= 1.0
+        rms_noise = np.sqrt(np.mean(views[:, 2] ** 2))
+        rms_rev = np.sqrt(np.mean(views[:, 3] ** 2))
+        if big:
+            assert rms_noise > 1000 and rms_rev > 1000, (rms_noise, rms_rev)
+        else:
+            assert rms_noise < 10 and rms_rev < 10, (rms_noise, rms_rev)

@@ -324,3 +324,69 @@ def test_zero1_preserves_tensor_parallel_axis():
     p2 = shard_params(model.init(jax.random.key(0)), mesh_tp)
     o2 = make_optimizer(1e-4).init(p2)
     assert shard_opt_state(o2, mesh_tp, min_size=1024) is o2
+
+
+def test_async_writer_roundtrip(tmp_path, engine_state):
+    """AsyncWriter produces byte-identical checkpoints to the sync path and
+    surfaces write failures on wait()."""
+    engine, params, buffers, opt_state = engine_state
+    sync_p = str(tmp_path / "sync.ckpt")
+    async_p = str(tmp_path / "async.ckpt")
+    ckpt.save_train_state(sync_p, params, opt_state, 3, jax.random.key(1), 91.0)
+    w = ckpt.AsyncWriter()
+    ckpt.save_train_state(async_p, params, opt_state, 3, jax.random.key(1),
+                          91.0, writer=w)
+    w.wait()
+    a, ea = ckpt.load(sync_p)
+    b, eb = ckpt.load(async_p)
+    assert ea == eb
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # a failing write must raise at the join point, not vanish
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("")
+    w2 = ckpt.AsyncWriter()
+    w2.submit(str(blocker / "x" / "y.ckpt"), {"a": np.zeros(2)}, {})
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        w2.wait()
+
+
+def test_ckpt_every_cadence(tmp_path, engine_state):
+    import os
+
+    """--ckpt_every N: last.ckpt lands on the cadence epochs + the final
+    epoch; resume state is the newest epoch."""
+    engine, params, buffers, opt_state = engine_state
+    rng = np.random.default_rng(4)
+    batches = [_batch(rng, groups=4) for _ in range(1)]
+    engine.cfg.num_epochs = 5
+    engine.cfg.ckpt_every = 3
+
+    saved = []
+    orig = ckpt.save_train_state
+
+    def spy(path, *a, **k):
+        saved.append((os.path.basename(path), a[2] if len(a) > 2 else k.get("epoch")))
+        return orig(path, *a, **k)
+
+    import scl_deepfake_audio_detection_tpu.train.engine as E
+
+    old = E.ckpt.save_train_state
+    E.ckpt.save_train_state = spy
+    try:
+        engine.fit(
+            params, buffers, opt_state,
+            train_batches=lambda: iter(batches),
+            dev_batches=lambda: iter(batches),
+            rng_key=jax.random.key(0),
+            save_dir=str(tmp_path),
+        )
+    finally:
+        E.ckpt.save_train_state = old
+    last_epochs = [e for n, e in saved if n == "last.ckpt"]
+    # cadence-3 over epochs 0..4 -> epochs 2 and 4 (final always saves)
+    assert last_epochs == [2, 4], saved
+    _, extra = ckpt.load(str(tmp_path / "last.ckpt"))
+    assert extra["epoch"] == 4

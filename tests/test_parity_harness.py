@@ -1,0 +1,211 @@
+"""Weights-day parity harness, proven asset-free (train/parity.py).
+
+A synthetic golden mini-checkpoint in the exact reference ``epoch_N.pth``
+layout (full ``wav2vec2_linear_nll`` state dict: embedded fairseq SSL +
+LL/backend head, ``main.py:44``) drives convert -> score -> row-diff through
+the same CLI path weights day will use, asserting both the PASS direction
+and that a perturbed row is detected."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.models import convert
+from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+SR = 16000
+
+
+def _fairseq_sd(cfg: XLSRConfig, rng: np.random.Generator) -> dict:
+    """Synthetic fairseq wav2vec2 state dict matching ``cfg`` (the key scheme
+    of ``models/convert.from_fairseq_state_dict``)."""
+    f32 = lambda a: np.asarray(a, np.float32)
+    sd = {}
+    for i, (dim, k, _) in enumerate(cfg.conv_layers):
+        cin = 1 if i == 0 else cfg.conv_layers[i - 1][0]
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = f32(
+            rng.normal(size=(dim, cin, k)) * 0.1
+        )
+        sd[f"feature_extractor.conv_layers.{i}.0.bias"] = f32(rng.normal(size=dim) * 0.1)
+        sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = np.ones(dim, np.float32)
+        sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = np.zeros(dim, np.float32)
+    c, d = cfg.conv_layers[-1][0], cfg.encoder_dim
+    sd["layer_norm.weight"] = np.ones(c, np.float32)
+    sd["layer_norm.bias"] = np.zeros(c, np.float32)
+    sd["post_extract_proj.weight"] = f32(rng.normal(size=(d, c)) * 0.1)
+    sd["post_extract_proj.bias"] = f32(rng.normal(size=d) * 0.1)
+    sd["encoder.pos_conv.0.weight_g"] = np.ones((1, 1, cfg.pos_conv_kernel), np.float32)
+    sd["encoder.pos_conv.0.weight_v"] = f32(
+        rng.normal(size=(d, d // cfg.pos_conv_groups, cfg.pos_conv_kernel)) * 0.1
+    )
+    sd["encoder.pos_conv.0.bias"] = f32(rng.normal(size=d) * 0.1)
+    for i in range(cfg.encoder_layers):
+        pre = f"encoder.layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{pre}.self_attn.{name}.weight"] = f32(rng.normal(size=(d, d)) * 0.1)
+            sd[f"{pre}.self_attn.{name}.bias"] = f32(rng.normal(size=d) * 0.1)
+        sd[f"{pre}.self_attn_layer_norm.weight"] = np.ones(d, np.float32)
+        sd[f"{pre}.self_attn_layer_norm.bias"] = np.zeros(d, np.float32)
+        sd[f"{pre}.fc1.weight"] = f32(rng.normal(size=(cfg.ffn_dim, d)) * 0.1)
+        sd[f"{pre}.fc1.bias"] = f32(rng.normal(size=cfg.ffn_dim) * 0.1)
+        sd[f"{pre}.fc2.weight"] = f32(rng.normal(size=(d, cfg.ffn_dim)) * 0.1)
+        sd[f"{pre}.fc2.bias"] = f32(rng.normal(size=d) * 0.1)
+        sd[f"{pre}.final_layer_norm.weight"] = np.ones(d, np.float32)
+        sd[f"{pre}.final_layer_norm.bias"] = np.zeros(d, np.float32)
+    sd["encoder.layer_norm.weight"] = np.ones(d, np.float32)
+    sd["encoder.layer_norm.bias"] = np.zeros(d, np.float32)
+    return sd
+
+
+def _reference_pth_dict(cfg: XLSRConfig, rng: np.random.Generator,
+                        emb: int = 128, ncls: int = 2) -> dict:
+    """Full reference Model state dict: SSL under ``ssl_model.model.`` plus
+    the LL / backend head, including the declared-but-unused BatchNorm
+    entries a real ``epoch_N.pth`` carries (``wav2vec2_linear_nll.py:108-110``)."""
+    f32 = lambda a: np.asarray(a, np.float32)
+    d = cfg.encoder_dim
+    sd = {f"ssl_model.model.{k}": v for k, v in _fairseq_sd(cfg, rng).items()}
+    sd["LL.weight"] = f32(rng.normal(size=(emb, d)) * 0.1)
+    sd["LL.bias"] = f32(rng.normal(size=emb) * 0.1)
+    for i in (0, 3, 6):
+        sd[f"backend.m_frame_level.{i}.weight"] = f32(rng.normal(size=(emb, emb)) * 0.1)
+        sd[f"backend.m_frame_level.{i}.bias"] = f32(rng.normal(size=emb) * 0.1)
+    sd["backend.m_utt_level.weight"] = f32(rng.normal(size=(ncls, emb)) * 0.1)
+    sd["backend.m_utt_level.bias"] = f32(rng.normal(size=ncls) * 0.1)
+    # dead-on-the-forward-path entries present in real checkpoints
+    sd["first_bn.weight"] = np.ones(1, np.float32)
+    sd["first_bn.bias"] = np.zeros(1, np.float32)
+    sd["first_bn.running_mean"] = np.zeros(1, np.float32)
+    sd["first_bn.running_var"] = np.ones(1, np.float32)
+    sd["first_bn.num_batches_tracked"] = np.asarray(0)
+    return sd
+
+
+def test_reference_checkpoint_conversion_roundtrip():
+    """from_reference_model_checkpoint maps every live key; structure matches
+    our init tree; weights land transposed; a forward runs finite."""
+    cfg = XLSRConfig.tiny()
+    rng = np.random.default_rng(0)
+    sd = _reference_pth_dict(cfg, rng)
+    params, got_cfg = convert.from_reference_model_checkpoint(sd, like=cfg)
+    assert got_cfg.encoder_dim == cfg.encoder_dim
+    assert got_cfg.encoder_layers == cfg.encoder_layers
+    assert got_cfg.conv_layers == cfg.conv_layers  # strides via ``like``
+
+    model = LinearNLL(ssl=cfg)
+    init_tree = model.init(jax.random.key(0))
+    assert jax.tree.structure(params) == jax.tree.structure(init_tree)
+    np.testing.assert_allclose(
+        np.asarray(params["ll"]["w"]), sd["LL.weight"].T, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["backend"]["out"]["b"]),
+        sd["backend.m_utt_level.bias"], atol=0,
+    )
+    out = model.apply(
+        params, jnp.asarray(rng.normal(size=(2, 1600)).astype(np.float32))
+    )
+    assert np.isfinite(np.asarray(out.log_probs)).all()
+
+
+def test_reference_checkpoint_requires_ssl_keys():
+    with pytest.raises(ValueError, match="ssl_model.model"):
+        convert.from_reference_model_checkpoint({"LL.weight": np.zeros((2, 2))})
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    """Mini eval db + golden .pth + config yaml, shared by the CLI tests."""
+    torch = pytest.importorskip("torch")
+    root = tmp_path_factory.mktemp("parity_db")
+    rng = np.random.default_rng(1)
+    utts = [f"p{i}.wav" for i in range(5)]
+    os.makedirs(root / "eval"); os.makedirs(root / "scp")
+    for u in utts:
+        n = int(rng.integers(4000, 9000))
+        save_wav(str(root / "eval" / u),
+                 rng.normal(size=n).astype(np.float32) * 0.2, SR)
+    (root / "scp" / "test.lst").write_text("\n".join(utts) + "\n")
+
+    cfg = XLSRConfig.tiny()
+    sd = _reference_pth_dict(cfg, np.random.default_rng(2))
+    pth = root / "epoch_1.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(pth))
+
+    yaml = root / "tiny.yaml"
+    yaml.write_text(
+        "model:\n  name: wav2vec2_linear_nll\n  flag_fix_ssl: false\n"
+        "  contra_mode: 'all'\n  loss_type: 1\n"
+        "data:\n  name: 'asvspoof_2019_augall_3'\n"
+        "  kwargs:\n    vocoders: ['hifigan']\n"
+        "    augmentation_methods: ['RawBoost12']\n"
+        "    num_additional_real: 1\n    trim_length: 4000\n"
+        "    wav_samp_rate: 16000\n    online_aug: true\n"
+    )
+    return root, utts, str(pth), str(yaml)
+
+
+def test_parity_check_cli_pass_then_detects_mismatch(golden, tmp_path):
+    """The weights-day command: eval with the reference .pth produces golden
+    scores; --parity_check against them passes (same code path, deterministic)
+    and a perturbed row flips the exit code."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root, utts, pth, yaml = golden
+    scores = str(tmp_path / "golden_scores.txt")
+    rc = main([
+        "--config", yaml, "--database_path", str(root) + "/",
+        "--batch_size", "2", "--eval", "--model_path", pth,
+        "--eval_output", scores, "--ssl_preset", "tiny",
+        "--num_workers", "1",
+    ])
+    assert rc == 0
+    assert len(open(scores).read().strip().splitlines()) == len(utts)
+
+    common = [
+        "--config", yaml, "--database_path", str(root) + "/",
+        "--batch_size", "2", "--model_path", pth, "--ssl_preset", "tiny",
+        "--num_workers", "1", "--parity_tol", "1e-4",
+    ]
+    rc = main(common + ["--parity_check", scores])
+    assert rc == 0, "identical pipeline must reproduce its own scores"
+
+    # perturb one row's bonafide score beyond tol -> FAIL
+    lines = open(scores).read().strip().splitlines()
+    parts = lines[2].split()
+    parts[2] = str(float(parts[2]) + 0.5)
+    bad = str(tmp_path / "bad_scores.txt")
+    open(bad, "w").write("\n".join(lines[:2] + [" ".join(parts)] + lines[3:]) + "\n")
+    rc = main(common + ["--parity_check", bad])
+    assert rc == 1, "a 0.5 score shift must be detected"
+
+
+def test_parity_check_skips_missing_audio(golden, tmp_path):
+    """Reference rows whose audio is absent are skipped (weights day will
+    have score files for utts beyond any partial local mirror)."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root, utts, pth, yaml = golden
+    scores = str(tmp_path / "scores_extra.txt")
+    rc = main([
+        "--config", yaml, "--database_path", str(root) + "/",
+        "--batch_size", "2", "--eval", "--model_path", pth,
+        "--eval_output", scores, "--ssl_preset", "tiny", "--num_workers", "1",
+    ])
+    assert rc == 0
+    with open(scores, "a") as f:
+        f.write("missing_utt.flac -1.0 -0.5\n")
+    rc = main([
+        "--config", yaml, "--database_path", str(root) + "/",
+        "--batch_size", "2", "--model_path", pth, "--ssl_preset", "tiny",
+        "--num_workers", "1", "--parity_tol", "1e-4",
+        "--parity_check", scores,
+    ])
+    assert rc == 0
