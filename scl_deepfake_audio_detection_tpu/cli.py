@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device wire format for eval batches and "
                         "--device_aug raw stacks; int16 halves PCIe/tunnel "
                         "transfer and is lossless for PCM16 audio")
+    p.add_argument("--bf16_grads", action="store_true", default=False,
+                   help="force bf16 encoder weight-grad stacks (XLSRConfig."
+                        "grad_stack_dtype).  Under bf16 compute this is "
+                        "already the default (auto) and is bit-identical "
+                        "to fp32 stacks; the flag only matters for fp32 "
+                        "compute runs")
     p.add_argument("--ckpt_every", type=int, default=1,
                    help="save last.ckpt every N epochs (best checkpoints and "
                         "the final epoch always save; a 300M full-state "
@@ -157,10 +163,13 @@ def _build_model(args, cfg):
 
     # remat trades recompute for activation memory in the backward pass —
     # required to fit 300M-param training on one chip; free at eval (fwd only)
+    gsd = "bfloat16" if getattr(args, "bf16_grads", False) else None
     ssl = (
-        XLSRConfig.tiny(compute_dtype=args.compute_dtype, remat=True)
+        XLSRConfig.tiny(compute_dtype=args.compute_dtype, remat=True,
+                        grad_stack_dtype=gsd)
         if args.ssl_preset == "tiny"
-        else XLSRConfig.xlsr_300m(compute_dtype=args.compute_dtype, remat=True)
+        else XLSRConfig.xlsr_300m(compute_dtype=args.compute_dtype,
+                                  remat=True, grad_stack_dtype=gsd)
     )
     cls = MODELS.get(cfg.model.name)
     model = cls.from_config(cfg.model, ssl=ssl)

@@ -104,6 +104,45 @@ class XLSRConfig:
     # 2x11x64000 with attn_ffn: K=4 *regresses* to 153ms (the stored tail
     # internals raise HBM pressure and the split scan compiles to a slower
     # schedule); 0 stays the default — knob kept for shapes with headroom.
+    fast_bwd_matmuls: Optional[bool] = None  # backward-cotangent cast for
+    # the encoder linears (ops/layers._matmul_fast_bwd): the fwd accumulates
+    # fp32, so dy arrives fp32 and the transpose GEMMs (dX = dy W^T,
+    # dW = X^T dy) otherwise run the MXU in slow multi-pass fp32 mode;
+    # casting dy to the operand dtype first runs them at bf16 rate.
+    # MEASURED on v5e at 2x11x64000 attn_ffn remat: 150.3 -> 121.9 ms/step
+    # (-19%).  dW numerics unchanged under bf16 compute (it is rounded to
+    # bf16 regardless, see grad_stack_dtype note); dX gains one bf16
+    # rounding of the activation gradient (<=1.5e-2 rel on the conv/early
+    # leaves, tests/test_xlsr.py).  None = auto: ON under bf16 compute,
+    # OFF under fp32 (where the cast is pointless and XLA's native
+    # transpose is best left alone).
+    grad_stack_dtype: Optional[str] = None  # 'bfloat16': cast the stacked
+    # encoder matmul weights to bf16 BEFORE the layer scan, so (a) the scan
+    # transpose writes the f32[24,4096,1024]-class weight-grad stacks in
+    # bf16 — the round-1 profile's dW-GEMM+stack-write fusions were ~31ms
+    # of a 146ms step, dominated by the fp32 epilogue writes — and (b) the
+    # per-step fp32->bf16 weight converts disappear.  Each layer's dW is
+    # still accumulated fp32 on the MXU, then rounded once to bf16; the
+    # master params and AdamW stay fp32 (the cast's transpose upconverts
+    # the gathered grads outside the scan).  BIT-IDENTICAL to the fp32
+    # stacks under bf16 compute (the per-call weight cast already rounds dW
+    # through bf16 — pinned in tests/test_xlsr.py), so None = auto: bf16
+    # stacks under bf16 compute.  Measured with fast_bwd at 2x11x64000:
+    # 121.9 -> 119.2 ms/step.
+
+    @property
+    def effective_grad_stack_dtype(self) -> Optional[str]:
+        if self.grad_stack_dtype is not None:
+            return self.grad_stack_dtype
+        if jnp.dtype(self.compute_dtype) == jnp.bfloat16:
+            return "bfloat16"
+        return None
+
+    @property
+    def use_fast_bwd(self) -> bool:
+        if self.fast_bwd_matmuls is None:
+            return jnp.dtype(self.compute_dtype) == jnp.bfloat16
+        return self.fast_bwd_matmuls
 
     @property
     def approx_gelu(self) -> bool:
@@ -373,9 +412,10 @@ def _encoder_layer(
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q * (hd**-0.5)
     else:
-        q = linear(layer["attn"]["q"], y, cdtype) * (hd**-0.5)
-        k = linear(layer["attn"]["k"], y, cdtype)
-        v = linear(layer["attn"]["v"], y, cdtype)
+        fb = cfg.use_fast_bwd
+        q = linear(layer["attn"]["q"], y, cdtype, fast_bwd=fb) * (hd**-0.5)
+        k = linear(layer["attn"]["k"], y, cdtype, fast_bwd=fb)
+        v = linear(layer["attn"]["v"], y, cdtype, fast_bwd=fb)
     q, k, v = (
         z.reshape(b, t, h, hd).transpose(0, 2, 1, 3).astype(cdtype) for z in (q, k, v)
     )
@@ -385,17 +425,19 @@ def _encoder_layer(
     if cfg.attention_dropout > 0.0:
         attn = dropout(r_attn, attn, cfg.attention_dropout, deterministic)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
-    attn = linear(layer["attn"]["o"], attn, cdtype)
+    attn = linear(layer["attn"]["o"], attn, cdtype,
+                  fast_bwd=cfg.use_fast_bwd)
     # named for the selective remat policies ('attn' / 'attn_ffn')
     attn = jax.ad_checkpoint.checkpoint_name(attn, "attn_out")
     x = x + dropout(r_res1, attn, cfg.dropout, deterministic).astype(x.dtype)
 
     # feed-forward block
     y = layer_norm(layer["ln_ffn"], x, cfg.layer_norm_eps)
-    y = gelu(linear(layer["fc1"], y, cdtype), cfg.approx_gelu)
+    y = gelu(linear(layer["fc1"], y, cdtype, fast_bwd=cfg.use_fast_bwd),
+             cfg.approx_gelu)
     y = jax.ad_checkpoint.checkpoint_name(y, "ffn_act")
     y = dropout(r_act, y, cfg.activation_dropout, deterministic)
-    y = linear(layer["fc2"], y, cdtype)
+    y = linear(layer["fc2"], y, cdtype, fast_bwd=cfg.use_fast_bwd)
     x = x + dropout(r_res2, y, cfg.dropout, deterministic).astype(x.dtype)
     return x
 
@@ -415,6 +457,18 @@ def transformer_encoder(
         x = dropout(jax.random.fold_in(rng, 1_000_001), x, cfg.dropout, deterministic)
 
     stacked = params["encoder"]["layers"]
+    if cfg.effective_grad_stack_dtype is not None:
+        # cast the stacked matmul weights (3D leaves [L, in, out]) once,
+        # outside the scan: the scan transpose then stacks their grads in
+        # this dtype and the per-step weight converts vanish; biases and LN
+        # params (2D) stay fp32 (see XLSRConfig.grad_stack_dtype)
+        gdt = jnp.dtype(cfg.effective_grad_stack_dtype)
+        stacked = jax.tree.map(
+            lambda a: a.astype(gdt)
+            if (a.ndim == 3 and a.dtype == jnp.float32)
+            else a,
+            stacked,
+        )
     num_layers = jax.tree.leaves(stacked)[0].shape[0]
     rngs = (
         jax.random.split(rng, num_layers)

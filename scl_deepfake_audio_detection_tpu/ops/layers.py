@@ -63,13 +63,54 @@ def init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
 PRECISION = jax.lax.Precision.HIGHEST
 
 
-def linear(p: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def linear(p: Params, x: jnp.ndarray, compute_dtype=None,
+           fast_bwd: bool = False) -> jnp.ndarray:
     w, b = p["w"], p["b"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=PRECISION)
+    mm = _matmul_fast_bwd if fast_bwd else _matmul
+    y = mm(x, w)
     return y + b.astype(y.dtype)
+
+
+def _matmul(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32, precision=PRECISION)
+
+
+@jax.custom_vjp
+def _matmul_fast_bwd(x, w):
+    """Same forward as ``_matmul``; the backward casts the incoming
+    cotangent to the OPERAND dtype before the two transpose GEMMs.
+
+    Why: the forward accumulates into fp32 (``preferred_element_type``), so
+    the cotangent dy arrives fp32 — and the standard transpose rule then
+    computes dX = dy·W^T and dW = X^T·dy as fp32-operand GEMMs, which run
+    the MXU in multi-pass fp32 mode (~3-8x below its bf16 rate).  Under
+    bf16 compute the dW result is rounded to bf16 *anyway* (the weight
+    cast's transpose), so rounding dy once beforehand adds one bf16
+    rounding of the activation gradient in exchange for bf16-rate transpose
+    GEMMs.  No effect with fp32 operands (the cast is a no-op)."""
+    return _matmul(x, w)
+
+
+def _matmul_fast_bwd_fwd(x, w):
+    return _matmul(x, w), (x, w)
+
+
+def _matmul_fast_bwd_bwd(res, g):
+    x, w = res
+    g = g.astype(w.dtype)
+    dx = jnp.dot(g, w.T, preferred_element_type=jnp.float32,
+                 precision=PRECISION).astype(x.dtype)
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = g.reshape(-1, g.shape[-1])
+    dw = jnp.dot(x2.T, g2, preferred_element_type=jnp.float32,
+                 precision=PRECISION).astype(w.dtype)
+    return dx, dw
+
+
+_matmul_fast_bwd.defvjp(_matmul_fast_bwd_fwd, _matmul_fast_bwd_bwd)
 
 
 def init_layer_norm(dim: int, dtype=jnp.float32) -> Params:

@@ -1,0 +1,178 @@
+"""Generic GAN trainer — capability match for the vendored NII GAN manager.
+
+The reference carries ``core_scripts/nn_manager/nn_manager_GAN.py`` (675 LoC,
+dead on its active path: no config or entry point reaches it) whose
+capability is: one training loop driving a generator/discriminator pair with
+separate optimizers, alternating D-then-G updates per batch
+(``f_run_one_epoch_GAN`` ``:33-174``), per-epoch validation/checkpointing
+like the standard manager.
+
+TPU-native shape: both updates live in ONE jitted, donated step over the
+mesh — the discriminator update (real batch vs ``stop_gradient``'d fake) and
+the generator update (through the updated D) — so the chip never waits on
+Python between the two phases, and XLA fuses/overlaps the shared G forward.
+Loss functions are pluggable; the default is the non-saturating BCE pair
+(the NII manager delegates loss choice to the model wrapper the same way).
+
+Models follow this framework's pytree contract (``models/base.py``):
+``init(key) -> params`` and ``apply(params, x, train=, rng=) -> output``;
+the generator consumes latents ``[N, z_dim]``, the discriminator returns
+logits ``[N]`` (or ``[N, 1]``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scl_deepfake_audio_detection_tpu.parallel import make_mesh, shard_batch
+from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+from scl_deepfake_audio_detection_tpu.train.optim import make_optimizer
+
+
+def bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
+    """Numerically-stable sigmoid BCE against a constant 0/1 target."""
+    logits = logits.reshape(-1).astype(jnp.float32)
+    # log(sigmoid(x)) = -softplus(-x); log(1-sigmoid(x)) = -softplus(x)
+    return jnp.mean(
+        jax.nn.softplus(-logits) if target == 1.0 else jax.nn.softplus(logits)
+    )
+
+
+def d_loss_nonsaturating(d_real: jnp.ndarray, d_fake: jnp.ndarray) -> jnp.ndarray:
+    return bce_logits(d_real, 1.0) + bce_logits(d_fake, 0.0)
+
+
+def g_loss_nonsaturating(d_fake: jnp.ndarray) -> jnp.ndarray:
+    return bce_logits(d_fake, 1.0)
+
+
+def _gan_step(
+    params_g, params_d, opt_g, opt_d, real, z, rng,
+    *, gen, disc, optimizer_g, optimizer_d, d_loss_fn, g_loss_fn,
+):
+    rng_g, rng_d, rng_g2 = jax.random.split(rng, 3)
+
+    # --- discriminator update: real up, (stop-gradient) fake down ----------
+    fake = gen.apply(params_g, z, train=True, rng=rng_g)
+    fake_sg = jax.lax.stop_gradient(fake)
+
+    def d_objective(pd):
+        d_real = disc.apply(pd, real, train=True, rng=rng_d)
+        d_fake = disc.apply(pd, fake_sg, train=True, rng=rng_d)
+        return d_loss_fn(d_real, d_fake)
+
+    d_val, d_grads = jax.value_and_grad(d_objective)(params_d)
+    d_updates, opt_d = optimizer_d.update(d_grads, opt_d, params_d)
+    params_d = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), params_d, d_updates)
+
+    # --- generator update through the UPDATED discriminator ----------------
+    def g_objective(pg):
+        f = gen.apply(pg, z, train=True, rng=rng_g2)
+        return g_loss_fn(disc.apply(params_d, f, train=True, rng=rng_d))
+
+    g_val, g_grads = jax.value_and_grad(g_objective)(params_g)
+    g_updates, opt_g = optimizer_g.update(g_grads, opt_g, params_g)
+    params_g = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), params_g, g_updates)
+
+    metrics = {"d_loss": d_val, "g_loss": g_val}
+    return params_g, params_d, opt_g, opt_d, metrics
+
+
+class GANEngine:
+    """Owns the jitted alternating step + the epoch/checkpoint loop."""
+
+    def __init__(
+        self,
+        generator,
+        discriminator,
+        z_dim: int,
+        lr_g: float = 1e-4,
+        lr_d: float = 1e-4,
+        weight_decay: float = 0.0,
+        d_loss_fn: Callable = d_loss_nonsaturating,
+        g_loss_fn: Callable = g_loss_nonsaturating,
+        mesh=None,
+    ):
+        self.gen, self.disc, self.z_dim = generator, discriminator, z_dim
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.opt_g_def = make_optimizer(weight_decay)
+        self.opt_d_def = make_optimizer(weight_decay)
+        self.lr_g, self.lr_d = lr_g, lr_d
+        self.step = jax.jit(
+            functools.partial(
+                _gan_step, gen=generator, disc=discriminator,
+                optimizer_g=self.opt_g_def, optimizer_d=self.opt_d_def,
+                d_loss_fn=d_loss_fn, g_loss_fn=g_loss_fn,
+            ),
+            donate_argnums=(0, 1, 2, 3),
+        )
+
+    def init_state(self, key):
+        from scl_deepfake_audio_detection_tpu.train.optim import (
+            set_learning_rate,
+        )
+
+        kg, kd = jax.random.split(key)
+        params_g = jax.jit(self.gen.init)(kg)
+        params_d = jax.jit(self.disc.init)(kd)
+        opt_g = set_learning_rate(self.opt_g_def.init(params_g), self.lr_g)
+        opt_d = set_learning_rate(self.opt_d_def.init(params_d), self.lr_d)
+        return params_g, params_d, opt_g, opt_d
+
+    def run_epoch(
+        self, params_g, params_d, opt_g, opt_d,
+        real_batches: Iterable[np.ndarray], rng_key,
+    ) -> Tuple[Any, Any, Any, Any, Dict[str, float]]:
+        agg: Dict[str, Any] = {}
+        n = 0
+        for i, real in enumerate(real_batches):
+            r = jax.random.fold_in(rng_key, i)
+            z = jax.random.normal(
+                jax.random.fold_in(r, 7), (np.shape(real)[0], self.z_dim)
+            )
+            placed = shard_batch({"real": np.asarray(real), "z": z}, self.mesh)
+            params_g, params_d, opt_g, opt_d, m = self.step(
+                params_g, params_d, opt_g, opt_d, placed["real"], placed["z"], r
+            )
+            for k, val in m.items():
+                agg[k] = val if k not in agg else agg[k] + val
+            n += 1
+        host = {k: float(v) / max(n, 1) for k, v in agg.items()}
+        return params_g, params_d, opt_g, opt_d, host
+
+    def fit(
+        self, real_batches_fn: Callable[[], Iterable[np.ndarray]],
+        num_epochs: int, rng_key, save_dir: Optional[str] = None,
+        log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    ):
+        state = self.init_state(rng_key)
+        for epoch in range(num_epochs):
+            *state, metrics = self.run_epoch(
+                *state, real_batches_fn(), jax.random.fold_in(rng_key, epoch)
+            )
+            if log_fn:
+                log_fn(epoch, metrics)
+            if save_dir:
+                # both networks + both optimizer states, resumable like the
+                # NII manager's joint checkpoint (nn_manager_GAN.py:214-218)
+                ckpt.save(
+                    f"{save_dir}/gan_last.ckpt",
+                    {
+                        "params_g": state[0], "params_d": state[1],
+                        "opt_g_leaves": {
+                            str(i): l
+                            for i, l in enumerate(jax.tree.leaves(state[2]))
+                        },
+                        "opt_d_leaves": {
+                            str(i): l
+                            for i, l in enumerate(jax.tree.leaves(state[3]))
+                        },
+                    },
+                    extra={"epoch": epoch},
+                )
+        return tuple(state)

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Train-step timing on real TPU: differenced lax.scan (cancels the tunnel's
+per-dispatch overhead — see CLAUDE.md / ROADMAP perf log).
+
+Usage: python scripts/measure_train_step.py [k1] [k2]
+Prints ms/step for the conf-3 training shape (2 groups x 11 views x 64000
+samples, XLS-R 300M + linear head, attn_ffn remat, bf16 compute).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train.engine import (
+        _train_step,
+    )
+    from scl_deepfake_audio_detection_tpu.train.optim import (
+        make_optimizer,
+        set_learning_rate,
+    )
+    import functools
+
+    k1 = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    k2 = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    bf16_stacks = "--bf16" in sys.argv
+    # auto (None) = ON under bf16 compute; --no_fast_bwd forces the old path
+    fast_bwd = (True if "--fast_bwd" in sys.argv
+                else False if "--no_fast_bwd" in sys.argv else None)
+
+    ssl = XLSRConfig.xlsr_300m(
+        compute_dtype="bfloat16", remat=True, remat_policy="attn_ffn",
+        grad_stack_dtype="bfloat16" if bf16_stacks else None,
+        fast_bwd_matmuls=fast_bwd,
+    )
+    print(f"grad_stack_dtype={ssl.grad_stack_dtype} "
+          f"fast_bwd={ssl.use_fast_bwd}")
+    model = LinearNLL(ssl=ssl)
+    optimizer = make_optimizer(1e-4)
+    params = jax.jit(model.init)(jax.random.key(0))
+    opt_state = optimizer.init(params)
+    opt_state = set_learning_rate(opt_state, 1e-5)
+
+    g, v, t = 2, 11, 64000
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav": jnp.asarray(rng.normal(size=(g, v, t)).astype(np.float32) * 0.1),
+        "labels": jnp.asarray(
+            np.tile(np.array([1] * 5 + [0] * 6, np.float32), (g, 1))
+        ),
+    }
+
+    step = functools.partial(
+        _train_step, model=model, optimizer=optimizer, loss_scope="group"
+    )
+
+    def chained(params, opt_state, k):
+        def body(carry, i):
+            p, o = carry
+            p, _, o, m = step(p, {}, o, batch, jax.random.fold_in(jax.random.key(1), i))
+            return (p, o), m["loss"]
+
+        (p, o), losses = jax.lax.scan(body, (params, opt_state), jnp.arange(k))
+        return losses[-1]
+
+    times = {}
+    for k in (k1, k2):
+        f = jax.jit(functools.partial(chained, k=k))
+        loss = f(params, opt_state)  # compile + run
+        float(loss)
+        t0 = time.perf_counter()
+        loss = f(params, opt_state)
+        val = float(loss)  # host readback ends timing
+        times[k] = time.perf_counter() - t0
+        print(f"k={k}: {times[k]:.3f}s total, loss={val:.4f}", flush=True)
+
+    ms = (times[k2] - times[k1]) / (k2 - k1) * 1000
+    print(f"differenced: {ms:.1f} ms/step at {g}x{v}x{t}")
+
+
+if __name__ == "__main__":
+    main()

@@ -271,3 +271,26 @@ def test_xlsr_family_presets():
 
     params = init_xlsr(jax.random.key(0), tiny_1b)
     assert params["encoder"]["layers"]["fc1"]["w"].shape == (4, 64, 128)
+
+
+def test_bf16_grad_stacks_identical_under_bf16_compute(rng):
+    """grad_stack_dtype='bfloat16' must be numerically IDENTICAL to the
+    default under bf16 compute: the per-call weight cast inside ``linear``
+    already rounds dW through bf16, so the flag only moves the fp32
+    upconvert outside the scan (and halves the stack-write bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = X.XLSRConfig.tiny(compute_dtype="bfloat16", remat=True)
+    cfg16 = cfg.with_(grad_stack_dtype="bfloat16")
+    p = X.init_xlsr(jax.random.key(0), cfg)
+    wav = jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32) * 0.1)
+
+    def loss(p, c):
+        return jnp.sum(X.extract_features(p, c, wav).astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(lambda p_: loss(p_, cfg))(p)
+    g16 = jax.grad(lambda p_: loss(p_, cfg16))(p)
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(g16))
+    for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
