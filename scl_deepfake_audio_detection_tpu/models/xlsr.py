@@ -89,16 +89,16 @@ class XLSRConfig:
     # measured slower under scan on v5e (51.3 vs 46.9 ms @ 24x64600): the
     # per-step weight concat costs more than the larger GEMM saves
     remat: bool = False  # checkpoint each encoder layer in the bwd pass
-    remat_policy: str = "attn_ffn"  # 'full': recompute everything per layer |
+    remat_policy: str = "attn"  # 'full': recompute everything per layer |
     # 'dots': save MXU dot outputs, recompute only elementwise/LN/softmax
-    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).  Measured
-    # at 2x11x64000 on v5e: full 155ms/step, dots 167ms (extra HBM traffic
-    # for the saved GEMM outputs beats the recompute it avoids); no-remat
-    # OOMs (17.1G > 15.75G HBM).
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable); no-remat
+    # OOMs at these shapes (17.1G > 15.75G HBM).
     # 'attn' / 'attn_ffn': save only the named attn-out / +gelu activations
-    # (everything else recomputed).  Measured at 2x11x64000 on v5e:
-    # full 153ms/step, attn 152ms (wash), attn_ffn 146ms — attn_ffn (save
-    # attn-out + the gelu activation, recompute the rest) is the default.
+    # (everything else recomputed).  Measured at 2x11x64000 on v5e WITH the
+    # bf16-cotangent fast backward (round 2; two runs each): attn
+    # 117.6/119.6 ms/step, attn_ffn 119.2/123.3, full 121.0, dots 138.4 —
+    # the cheaper recompute flipped the round-1 ordering (then: full 153,
+    # attn 152, attn_ffn 146, dots 167), so 'attn' is now the default.
     remat_tail_full: int = 0  # keep the last K layers un-rematted (their
     # internals stay live; backward hits them first).  Measured at
     # 2x11x64000 with attn_ffn: K=4 *regresses* to 153ms (the stored tail
@@ -536,7 +536,8 @@ def extract_features(
     # keep the residual stream in the compute dtype: linears accumulate in
     # fp32 on the MXU, but carrying fp32 activations between layers doubles
     # HBM traffic for no accuracy benefit (layernorm re-normalizes in fp32)
-    x = linear(params["proj"], x, cdtype).astype(cdtype)
+    x = linear(params["proj"], x, cdtype,
+               fast_bwd=cfg.use_fast_bwd).astype(cdtype)
     if rng is not None:
         x = dropout(jax.random.fold_in(rng, 1_000_002), x, cfg.dropout, deterministic)
     return transformer_encoder(params, cfg, x, rng=rng, deterministic=deterministic)

@@ -281,7 +281,9 @@ def test_bf16_grad_stacks_identical_under_bf16_compute(rng):
     import jax
     import jax.numpy as jnp
 
-    cfg = X.XLSRConfig.tiny(compute_dtype="bfloat16", remat=True)
+    # force fp32 stacks on one side (None = auto = bf16 under bf16 compute)
+    cfg = X.XLSRConfig.tiny(compute_dtype="bfloat16", remat=True,
+                            grad_stack_dtype="float32")
     cfg16 = cfg.with_(grad_stack_dtype="bfloat16")
     p = X.init_xlsr(jax.random.key(0), cfg)
     wav = jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32) * 0.1)
