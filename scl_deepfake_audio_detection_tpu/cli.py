@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device wire format for eval batches and "
                         "--device_aug raw stacks; int16 halves PCIe/tunnel "
                         "transfer and is lossless for PCM16 audio")
+    p.add_argument("--is_train", type=str, default="True",
+                   help="accepted for reference flag compatibility "
+                        "(main.py:236 — its type=bool makes any string "
+                        "truthy there); here train/eval mode fully "
+                        "determines dropout behavior, so this is a no-op")
     p.add_argument("--bf16_grads", action="store_true", default=False,
                    help="force bf16 encoder weight-grad stacks (XLSRConfig."
                         "grad_stack_dtype).  Under bf16 compute this is "
