@@ -1,0 +1,121 @@
+"""CLI flag compatibility with the reference ``main.py`` argparse surface.
+
+The reference's de-facto public API is its shell scripts (SURVEY §2 A18):
+``02_train.sh:50-57`` and ``03_eval.sh:58-64`` assemble ``python main.py``
+command lines, and users append any of the ~35 flags defined in
+``main.py:217-300``.  These tests extract that flag surface from the mounted
+reference source and pin that our ``build_parser()``:
+
+1. accepts every reference flag (a reference invocation never dies on
+   "unrecognized arguments"), and
+2. keeps the same default for every shared flag (so an *omitted* flag means
+   the same thing in both frameworks), modulo the documented divergences
+   below.
+"""
+from __future__ import annotations
+
+import re
+import shlex
+from pathlib import Path
+
+import pytest
+
+from scl_deepfake_audio_detection_tpu.cli import build_parser
+
+REF_MAIN = Path("/root/reference/main.py")
+
+# Flags whose defaults deliberately differ, with the reason (documented here
+# so the divergence is a decision, not an accident).
+DEFAULT_DIVERGENCES = {
+    # Reference default names a file that does not exist in its own repo
+    # (configs/config.yaml); ours defaults to the published-best config.
+    "config",
+    # Reference: type=bool (any string parses truthy — main.py:236); ours
+    # accepts the flag as a documented no-op string (cli.py).
+    "is_train",
+}
+
+
+def _reference_flags():
+    """Extract (name, default-literal) pairs from the reference argparse block.
+
+    The reference defines every flag as ``parser.add_argument('--name', ...
+    default=<literal>)`` on one logical line (main.py:219-297); a regex over
+    the source is robust here and keeps this test zero-import of reference
+    code.
+    """
+    src = REF_MAIN.read_text()
+    block = src[src.index("argparse.ArgumentParser") :]
+    pat = re.compile(
+        r"add_argument\('--(\w+)',\s*(?:type=(\w+),\s*)?"
+        r"(?:action='store_true',\s*)?default=([^,)]+)",
+        re.S,
+    )
+    flags = {}
+    for name, typ, default in pat.findall(block):
+        flags[name] = (typ or "flag", default.strip())
+    return flags
+
+
+def test_reference_flag_surface_extraction_sane():
+    flags = _reference_flags()
+    # The known surface: 9 hyperparams + mode/model/aux + 17 RawBoost knobs.
+    assert len(flags) >= 35, sorted(flags)
+    for probe in ("database_path", "algo", "SNRmax", "is_train", "emb"):
+        assert probe in flags
+
+
+def test_every_reference_flag_is_accepted():
+    flags = _reference_flags()
+    parser = build_parser()
+    known = {
+        action.dest for action in parser._actions
+    }  # argparse dest == flag name for all reference flags
+    missing = sorted(set(flags) - known)
+    assert not missing, f"reference flags not accepted: {missing}"
+
+
+def test_shared_defaults_match_reference():
+    ref = _reference_flags()
+    parser = build_parser()
+    ours = {a.dest: a.default for a in parser._actions}
+    mismatches = {}
+    for name, (typ, literal) in ref.items():
+        if name in DEFAULT_DIVERGENCES:
+            continue
+        want = {"int": int, "float": float, "str": str}.get(typ, None)
+        if want is None:  # store_true flags
+            expected = literal == "True"
+        elif literal == "None":
+            expected = None
+        else:
+            expected = want(literal.strip("'\""))
+        if ours[name] != expected:
+            mismatches[name] = (expected, ours[name])
+    assert not mismatches, f"default drift vs reference: {mismatches}"
+
+
+@pytest.mark.parametrize(
+    "cmdline",
+    [
+        # 02_train.sh:50-57 (shell-var values substituted)
+        "--seed 1234 --config configs/conf-3-linear.yaml "
+        "--database_path /data --batch_size 1 --comment 'my run' "
+        "--num_epochs 80 --padding_type repeat",
+        # 03_eval.sh:58-64
+        "--config configs/conf-3-linear.yaml --database_path /data "
+        "--batch_size 16 --eval --model_path out/epoch_80.pth "
+        "--eval_output scores.txt",
+        # a maximal reference invocation: every RawBoost knob + modes
+        "--algo 5 --nBands 5 --minF 20 --maxF 8000 --minBW 100 "
+        "--maxBW 1000 --minCoeff 10 --maxCoeff 100 --minG 0 --maxG 0 "
+        "--minBiasLinNonLin 5 --maxBiasLinNonLin 20 --N_f 5 --P 10 "
+        "--g_sd 2 --SNRmin 10 --SNRmax 40 --is_train True --predict --emb",
+    ],
+)
+def test_reference_shell_invocations_parse(cmdline):
+    args = build_parser().parse_args(shlex.split(cmdline))
+    if "--padding_type repeat" in cmdline:
+        assert args.padding_type == "repeat"
+    if "--eval " in cmdline:
+        assert args.eval and args.eval_output == "scores.txt"
