@@ -117,8 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force bf16 encoder weight-grad stacks (XLSRConfig."
                         "grad_stack_dtype).  Under bf16 compute this is "
                         "already the default (auto) and is bit-identical "
-                        "to fp32 stacks; the flag only matters for fp32 "
-                        "compute runs")
+                        "to fp32 stacks.  Under fp32 compute it shrinks "
+                        "grad-stack HBM, but NOTE: the mechanism is casting "
+                        "the stacked encoder weights to bf16 before the "
+                        "layer scan, so the fp32 forward then runs on "
+                        "bf16-rounded weights (train and eval through this "
+                        "config) — a numerics change, not a free memory "
+                        "knob")
     p.add_argument("--ckpt_every", type=int, default=1,
                    help="save last.ckpt every N epochs (best checkpoints and "
                         "the final epoch always save; a 300M full-state "

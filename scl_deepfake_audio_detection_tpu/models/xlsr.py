@@ -128,7 +128,11 @@ class XLSRConfig:
     # stacks under bf16 compute (the per-call weight cast already rounds dW
     # through bf16 — pinned in tests/test_xlsr.py), so None = auto: bf16
     # stacks under bf16 compute.  Measured with fast_bwd at 2x11x64000:
-    # 121.9 -> 119.2 ms/step.
+    # 121.9 -> 119.2 ms/step.  Under FP32 compute the same cast means the
+    # forward itself runs on bf16-rounded weights (the linears upcast bf16
+    # storage back to fp32) — a real numerics change, which is why auto
+    # only enables this under bf16 compute; forcing it on an fp32 run
+    # trades forward precision for grad-stack HBM.
 
     @property
     def effective_grad_stack_dtype(self) -> Optional[str]:
@@ -404,11 +408,12 @@ def _encoder_layer(
         a = layer["attn"]
         wqkv = jnp.concatenate(
             [a["q"]["w"], a["k"]["w"], a["v"]["w"]], axis=-1
-        ).astype(cdtype)
+        )
         bqkv = jnp.concatenate([a["q"]["b"], a["k"]["b"], a["v"]["b"]])
-        qkv = jnp.dot(y.astype(cdtype), wqkv,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST) + bqkv
+        # through linear() so the fused GEMM gets the same fast-backward
+        # (bf16-cotangent transpose) treatment as the unfused q/k/v path
+        qkv = linear({"w": wqkv, "b": bqkv}, y, cdtype,
+                     fast_bwd=cfg.use_fast_bwd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q * (hd**-0.5)
     else:

@@ -134,11 +134,9 @@ def estimate_train_hbm(
     # conv feature extractor: activations at each conv output length
     conv_b = 0
     length = num_samples
-    ch_in = 1
     for ch, k, s in cfg.conv_layers:
         length = (length - k) // s + 1
         conv_b += n * length * ch * act
-        ch_in = ch
     conv_b *= 2  # fwd saves for bwd
 
     return HBMEstimate(

@@ -115,7 +115,6 @@ def al_loop(
     re-run beyond the caller's checkpoints) — the NII cache-file behavior
     (``nn_manager_AL.py:314-337``).
     """
-    rng = np.random.default_rng(cfg.seed)
     state = ALState(list(train_idx), list(pool_idx))
     done_cycles = 0
     if cfg.cache_path and os.path.isfile(cfg.cache_path):
@@ -129,6 +128,10 @@ def al_loop(
     for cycle in range(done_cycles, cfg.cycles):
         if not state.pool_idx:
             break
+        # per-cycle RNG keyed on (seed, cycle): a run resumed from the cache
+        # after cycle k draws the same criterion stream at cycle k+1 as the
+        # uninterrupted run (matters for criterion='random')
+        rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, cycle]))
         scores = np.asarray(crit(score_pool_fn(list(state.pool_idx)), rng))
         picks = select_from_pool(scores, state.pool_idx, cfg.samples_per_cycle)
         if not cfg.with_replacement:

@@ -128,6 +128,14 @@ def load(path: str) -> Tuple[Any, Dict[str, Any]]:
     return _unflatten_dicts(flat), extra
 
 
+def pack_opt_leaves(opt_state) -> dict:
+    """Positional leaf packing for optimizer state: optax states are nested
+    namedtuples whose *structure* the optimizer definition recreates at load
+    time, so only the leaf values need saving (restored by zip order in
+    ``load_train_state``).  Shared with the GAN trainer's joint checkpoint."""
+    return {str(i): l for i, l in enumerate(jax.tree.leaves(opt_state))}
+
+
 def save_train_state(
     path: str, params, opt_state, epoch: int, rng_key, best: float,
     buffers=None, writer: "Optional[AsyncWriter]" = None,
@@ -140,9 +148,7 @@ def save_train_state(
     npz serialization + disk write is handed to its background thread."""
     state = {
         "params": params,
-        "opt_state_leaves": {
-            str(i): l for i, l in enumerate(jax.tree.leaves(opt_state))
-        },
+        "opt_state_leaves": pack_opt_leaves(opt_state),
         "rng": jax.random.key_data(rng_key),
     }
     if buffers:

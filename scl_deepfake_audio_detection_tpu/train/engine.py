@@ -39,6 +39,28 @@ from scl_deepfake_audio_detection_tpu.train.optim import (
 from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
 
 
+class MetricMean:
+    """Streaming mean of per-step metric dicts.
+
+    Values accumulate as device arrays; ``result()`` is the single
+    device->host transfer per epoch (per-step ``float()`` would serialize
+    the async dispatch queue — the reference's per-batch ``.item()`` stall,
+    ``main.py:71-76``).  Shared by the engine epochs and the GAN trainer.
+    """
+
+    def __init__(self) -> None:
+        self._agg: Dict[str, Any] = {}
+        self._n = 0
+
+    def add(self, metrics: Dict[str, Any]) -> None:
+        for k, v in metrics.items():
+            self._agg[k] = v if k not in self._agg else self._agg[k] + v
+        self._n += 1
+
+    def result(self) -> Dict[str, float]:
+        return {k: float(v) / max(self._n, 1) for k, v in self._agg.items()}
+
+
 def _loss_and_metrics(params, buffers, model, batch, rng, train, loss_scope: str):
     """batch: {'wav': [G, V, T], 'labels': [G, V]} -> (total, (metrics, buf)).
 
@@ -167,16 +189,13 @@ class Engine:
         queue on every batch (the reference's per-batch ``.item()`` calls,
         ``main.py:71-76``, are exactly that stall on GPU).
         """
-        agg: Dict[str, Any] = {}
-        n = 0
+        agg = MetricMean()
         for i, batch in enumerate(batches):
             step_rng = jax.random.fold_in(rng_key, i)
             params, buffers, opt_state, metrics = self.train_step(
                 params, buffers, opt_state, self.place_batch(batch), step_rng
             )
-            for k, val in metrics.items():
-                agg[k] = val if k not in agg else agg[k] + val
-            n += 1
+            agg.add(metrics)
             if getattr(self.cfg, "check_numerics", False):
                 bad = {k: float(v) for k, v in metrics.items()
                        if not np.isfinite(float(v))}
@@ -185,20 +204,15 @@ class Engine:
                         f"non-finite metrics at step {i}: {bad} "
                         f"(utts={batch.get('utts') if isinstance(batch, dict) else None})"
                     )
-        host = {k: float(v) / max(n, 1) for k, v in agg.items()}
-        return params, buffers, opt_state, host
+        return params, buffers, opt_state, agg.result()
 
     def run_validation(
         self, params, buffers, batches: Iterable[Dict[str, Any]]
     ) -> Dict[str, float]:
-        agg: Dict[str, Any] = {}
-        n = 0
+        agg = MetricMean()
         for batch in batches:
-            metrics = self.eval_step(params, buffers, self.place_batch(batch))
-            for k, val in metrics.items():
-                agg[k] = val if k not in agg else agg[k] + val
-            n += 1
-        return {k: float(v) / max(n, 1) for k, v in agg.items()}
+            agg.add(self.eval_step(params, buffers, self.place_batch(batch)))
+        return agg.result()
 
     def fit(
         self,

@@ -31,6 +31,7 @@ import numpy as np
 
 from scl_deepfake_audio_detection_tpu.parallel import make_mesh, shard_batch
 from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+from scl_deepfake_audio_detection_tpu.train.engine import MetricMean
 from scl_deepfake_audio_detection_tpu.train.optim import make_optimizer
 
 
@@ -128,8 +129,7 @@ class GANEngine:
         self, params_g, params_d, opt_g, opt_d,
         real_batches: Iterable[np.ndarray], rng_key,
     ) -> Tuple[Any, Any, Any, Any, Dict[str, float]]:
-        agg: Dict[str, Any] = {}
-        n = 0
+        agg = MetricMean()
         for i, real in enumerate(real_batches):
             r = jax.random.fold_in(rng_key, i)
             z = jax.random.normal(
@@ -139,11 +139,8 @@ class GANEngine:
             params_g, params_d, opt_g, opt_d, m = self.step(
                 params_g, params_d, opt_g, opt_d, placed["real"], placed["z"], r
             )
-            for k, val in m.items():
-                agg[k] = val if k not in agg else agg[k] + val
-            n += 1
-        host = {k: float(v) / max(n, 1) for k, v in agg.items()}
-        return params_g, params_d, opt_g, opt_d, host
+            agg.add(m)
+        return params_g, params_d, opt_g, opt_d, agg.result()
 
     def fit(
         self, real_batches_fn: Callable[[], Iterable[np.ndarray]],
@@ -164,14 +161,8 @@ class GANEngine:
                     f"{save_dir}/gan_last.ckpt",
                     {
                         "params_g": state[0], "params_d": state[1],
-                        "opt_g_leaves": {
-                            str(i): l
-                            for i, l in enumerate(jax.tree.leaves(state[2]))
-                        },
-                        "opt_d_leaves": {
-                            str(i): l
-                            for i, l in enumerate(jax.tree.leaves(state[3]))
-                        },
+                        "opt_g_leaves": ckpt.pack_opt_leaves(state[2]),
+                        "opt_d_leaves": ckpt.pack_opt_leaves(state[3]),
                     },
                     extra={"epoch": epoch},
                 )

@@ -2,9 +2,12 @@
 """Train-step timing on real TPU: differenced lax.scan (cancels the tunnel's
 per-dispatch overhead — see CLAUDE.md / ROADMAP perf log).
 
-Usage: python scripts/measure_train_step.py [k1] [k2]
+Usage: python scripts/measure_train_step.py [k1] [k2] [--bf16]
+       [--fast_bwd | --no_fast_bwd]
 Prints ms/step for the conf-3 training shape (2 groups x 11 views x 64000
 samples, XLS-R 300M + linear head, attn_ffn remat, bf16 compute).
+k1/k2 are the two scan lengths to difference (default 3 and 9) and may be
+given in any position relative to the flags.
 """
 
 import os
@@ -31,8 +34,9 @@ def main():
     )
     import functools
 
-    k1 = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    k2 = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k1 = int(positional[0]) if len(positional) > 0 else 3
+    k2 = int(positional[1]) if len(positional) > 1 else 9
     bf16_stacks = "--bf16" in sys.argv
     # auto (None) = ON under bf16 compute; --no_fast_bwd forces the old path
     fast_bwd = (True if "--fast_bwd" in sys.argv

@@ -361,6 +361,8 @@ def test_ckpt_every_cadence(tmp_path, engine_state):
     engine, params, buffers, opt_state = engine_state
     rng = np.random.default_rng(4)
     batches = [_batch(rng, groups=4) for _ in range(1)]
+    # engine is module-scoped shared state: restore the cfg fields we mutate
+    old_epochs, old_every = engine.cfg.num_epochs, engine.cfg.ckpt_every
     engine.cfg.num_epochs = 5
     engine.cfg.ckpt_every = 3
 
@@ -385,6 +387,8 @@ def test_ckpt_every_cadence(tmp_path, engine_state):
         )
     finally:
         E.ckpt.save_train_state = old
+        engine.cfg.num_epochs = old_epochs
+        engine.cfg.ckpt_every = old_every
     last_epochs = [e for n, e in saved if n == "last.ckpt"]
     # cadence-3 over epochs 0..4 -> epochs 2 and 4 (final always saves)
     assert last_epochs == [2, 4], saved

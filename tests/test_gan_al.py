@@ -176,3 +176,36 @@ def test_al_with_replacement_and_new_data_only():
     assert state.history == [[5], [5]]
     assert state.pool_idx == [5, 6]  # with replacement: pool unchanged
     assert trained == [[5], [5]]  # only-new-data training sets
+
+
+def test_al_random_criterion_resume_matches_uninterrupted(tmp_path):
+    """criterion='random' draws a per-cycle RNG keyed on (seed, cycle), so a
+    run resumed from the selection cache picks the same samples at cycle k
+    as a never-interrupted run (the NII cache contract)."""
+    from scl_deepfake_audio_detection_tpu.train.active_learning import (
+        ALConfig,
+        al_loop,
+    )
+
+    pool = list(range(10, 30))
+    score = lambda idx: np.tile([np.log(0.5)] * 2, (len(idx), 1))
+    train = lambda idx, n: None
+
+    full = al_loop(
+        ALConfig(cycles=2, samples_per_cycle=3, criterion="random", seed=7,
+                 cache_path=str(tmp_path / "full.json")),
+        [0], pool, train, score,
+    )
+    # interrupted run: cycle 0 only, then resume for cycle 1 from the cache
+    cache = str(tmp_path / "resume.json")
+    al_loop(
+        ALConfig(cycles=1, samples_per_cycle=3, criterion="random", seed=7,
+                 cache_path=cache),
+        [0], pool, train, score,
+    )
+    resumed = al_loop(
+        ALConfig(cycles=2, samples_per_cycle=3, criterion="random", seed=7,
+                 cache_path=cache),
+        [0], pool, train, score,
+    )
+    assert resumed.history == full.history

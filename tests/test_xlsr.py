@@ -296,3 +296,46 @@ def test_bf16_grad_stacks_identical_under_bf16_compute(rng):
     assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(g16))
     for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_qkv_respects_fast_bwd(rng):
+    """The fused-QKV GEMM must go through the same fast-backward
+    (bf16-cotangent) matmul as the unfused q/k/v path.
+
+    Two pins: (a) flipping fast_bwd_matmuls changes the fused path's grads
+    (before the round-2 fix the fused dot ignored the knob entirely, so
+    grads were bitwise-identical either way); (b) fused and unfused grads
+    agree to bf16 tolerance under the same fast_bwd setting."""
+    import jax
+    import jax.numpy as jnp
+
+    base = X.XLSRConfig.tiny(compute_dtype="bfloat16")
+    fused_fast = base.with_(fuse_qkv=True, fast_bwd_matmuls=True)
+    fused_slow = base.with_(fuse_qkv=True, fast_bwd_matmuls=False)
+    unfused_fast = base.with_(fuse_qkv=False, fast_bwd_matmuls=True)
+
+    p = X.init_xlsr(jax.random.key(0), base)
+    wav = jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32) * 0.1)
+
+    def grads(cfg):
+        def loss(p_):
+            return jnp.sum(
+                X.extract_features(p_, cfg, wav).astype(jnp.float32) ** 2
+            )
+
+        return jax.grad(loss)(p)
+
+    g_fast, g_slow = grads(fused_fast), grads(fused_slow)
+    # (a) the knob reaches the fused GEMM: some leaf must differ
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_slow))
+    ]
+    assert max(diffs) > 0.0, "fast_bwd had no effect on the fused-QKV path"
+    # (b) fused vs unfused parity at the same fast_bwd setting
+    g_ref = grads(unfused_fast)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # rel tolerance on meaningfully-sized leaves + abs floor for leaves
+        # whose grads are ~0 (fp32 accumulation-order noise dominates there)
+        assert np.abs(a - b).max() < 2e-2 * np.abs(b).max() + 1e-4
