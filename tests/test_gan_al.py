@@ -87,6 +87,67 @@ def test_gan_checkpoint_written(tmp_path):
     assert "params_g" in tree and "params_d" in tree
 
 
+def test_wgan_clips_critic_and_skips_generator_updates():
+    """mode='wgan' must clamp every critic weight to [-clip, clip] after each
+    step and move the generator only every n_critic steps
+    (nn_manager_GAN_ob.py:206-349 semantics)."""
+    from scl_deepfake_audio_detection_tpu.train.gan import GANEngine
+
+    gen = _MLP([3, 8, 2])
+    disc = _MLP([2, 8, 1], out_squeeze=True)
+    eng = GANEngine(gen, disc, z_dim=3, mode="wgan", n_critic=3,
+                    lr_g=1e-2, lr_d=1e-2)
+    pg, pd, og, od = eng.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+
+    flat0 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(pg)])
+    moved = []
+    for i in range(6):
+        real = rng.normal(size=(16, 2)).astype(np.float32)
+        z = rng.normal(size=(16, 3)).astype(np.float32)
+        pg, pd, og, od, m = eng.step(
+            pg, pd, og, od, real, z, jax.random.key(i), jnp.int32(i)
+        )
+        # critic clamp holds after every step
+        for leaf in jax.tree.leaves(pd):
+            assert np.max(np.abs(np.asarray(leaf))) <= 0.01 + 1e-7
+        flat = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(pg)])
+        moved.append(bool(np.any(flat != flat0)))
+        flat0 = flat
+        assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_loss"])
+    # steps 0 and 3 update G (step_idx % 3 == 0); 1,2,4,5 must not
+    assert moved == [True, False, False, True, False, False]
+
+
+def test_conditional_gan_aux_loss_drives_reconstruction():
+    """The observed-condition flavor: G(cond) must approach the target via
+    the auxiliary MSE term (compute_aux, nn_manager_GAN_ob.py:306-309).
+    Target = fixed linear map of the conditioning input."""
+    from scl_deepfake_audio_detection_tpu.train.gan import GANEngine, mse_aux
+
+    W = np.array([[1.0, -2.0], [0.5, 1.5], [2.0, 0.0]], np.float32)
+    rng = np.random.default_rng(3)
+
+    gen = _MLP([3, 16, 2])
+    disc = _MLP([2, 16, 1], out_squeeze=True)
+    eng = GANEngine(gen, disc, z_dim=3, lr_g=5e-3, lr_d=1e-3,
+                    aux_loss_fn=mse_aux)
+
+    def batches():
+        for _ in range(30):
+            cond = rng.normal(size=(32, 3)).astype(np.float32)
+            yield {"z": cond, "real": cond @ W}
+
+    logs = []
+    pg, *_ = eng.fit(batches, num_epochs=4, rng_key=jax.random.key(2),
+                     log_fn=lambda e, m: logs.append(m))
+    assert logs[-1]["g_aux"] < 0.5 * logs[0]["g_aux"]
+    cond = rng.normal(size=(64, 3)).astype(np.float32)
+    fake = np.asarray(gen.apply(pg, jnp.asarray(cond)))
+    resid = np.mean((fake - cond @ W) ** 2) / np.mean((cond @ W) ** 2)
+    assert resid < 0.5, resid
+
+
 # --------------------------------------------------------------------- AL
 
 
