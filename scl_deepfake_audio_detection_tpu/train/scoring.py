@@ -84,6 +84,51 @@ def produce_prediction_file(
                 progress(done)
 
 
+def bucketed_batches(
+    wavs: Iterable[np.ndarray],
+    utts: Iterable[str],
+    batch_size: int,
+    bucket_multiple: int = 16000,
+    padding_type: str = "repeat",
+    max_len: Optional[int] = None,
+):
+    """Yield ``(wav [B, L_bucket], utts)`` batches grouped by length.
+
+    The variable-length scoring policy for NON-parity workloads: items are
+    length-sorted (``data/sampler.length_buckets``), each batch pads to its
+    max rounded up to ``bucket_multiple`` — so a whole eval sweep compiles at
+    most ceil(max_len / bucket_multiple) XLA programs instead of one per
+    distinct batch-max (each fresh shape costs a full compile, ~20-40 s on
+    this infra). ``bucket_multiple=0`` disables rounding (exact per-batch
+    max — the torch-style policy, kept for the benchmark comparison).
+
+    NOT the parity path: the reference scores fixed 64600-sample crops
+    (``datautils/asvspoof_2019_augall_3.py:49-60``) and mean-pool scores are
+    length-dependent, so this yields different (not wrong) score files.
+    Short items tile-repeat to the bucket length (``padding_type='repeat'``)
+    or zero-pad; ``max_len`` caps long items by truncation.
+    """
+    from scl_deepfake_audio_detection_tpu.data.sampler import length_buckets
+    from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
+
+    wavs = list(wavs)
+    utts = list(utts)
+    if len(wavs) != len(utts):
+        raise ValueError("wavs and utts length mismatch")
+    lengths = [min(w.shape[0], max_len) if max_len else w.shape[0] for w in wavs]
+    for idx_batch in length_buckets(lengths, batch_size):
+        target = max(lengths[i] for i in idx_batch)
+        if bucket_multiple:
+            target = -(-target // bucket_multiple) * bucket_multiple
+        batch = np.stack(
+            [pad_eval(wavs[i], padding_type, target) for i in idx_batch]
+        ).astype(np.float32)
+        if batch.shape[0] < batch_size:  # ragged tail: tile rows, keep shape
+            reps = batch_size // batch.shape[0] + 1
+            batch = np.concatenate([batch] * reps)[:batch_size]
+        yield batch, [utts[i] for i in idx_batch]
+
+
 def score_long_audio(
     wav: np.ndarray,
     score_fn: Callable[[np.ndarray], np.ndarray],
