@@ -149,6 +149,7 @@ def conv1d(
     stride: int = 1,
     padding="VALID",
     groups: int = 1,
+    dilation: int = 1,
     compute_dtype=None,
 ) -> jnp.ndarray:
     """x: [B, T, C_in] -> [B, T', C_out]. ``padding`` is 'VALID'/'SAME' or
@@ -168,6 +169,7 @@ def conv1d(
         padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
+        rhs_dilation=(dilation,),
         preferred_element_type=x.dtype,
         precision=PRECISION,
     )
