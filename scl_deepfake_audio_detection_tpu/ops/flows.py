@@ -341,6 +341,101 @@ def dds_conv(
 
 
 # ---------------------------------------------------------------------------
+# ConvReluNorm + HiFiGAN ResBlocks (modules.py:42-74, 194-263)
+# ---------------------------------------------------------------------------
+
+LRELU_SLOPE = 0.1  # modules.py LRELU_SLOPE
+
+
+def init_conv_relu_norm(
+    key, in_ch: int, hidden: int, out_ch: int, kernel: int, n_layers: int
+) -> Params:
+    if n_layers <= 1:
+        raise ValueError("n_layers should be larger than 1")
+    ks = jax.random.split(key, n_layers + 1)
+    convs = [init_conv1d(ks[0], in_ch, hidden, kernel)]
+    convs += [init_conv1d(ks[i], hidden, hidden, kernel) for i in range(1, n_layers)]
+    return {
+        "convs": convs,
+        "norms": [init_layer_norm(hidden) for _ in range(n_layers)],
+        "proj": _zero_conv(init_conv1d(ks[-1], hidden, out_ch, 1)),
+    }
+
+
+def conv_relu_norm(
+    p: Params,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng=None,
+) -> jnp.ndarray:
+    """Residual conv->LN->ReLU stack with a zero-init projection
+    (``ConvReluNorm``, ``modules.py:42-74``); identity at init."""
+    x_org = x
+    for conv, norm in zip(p["convs"], p["norms"]):
+        k = conv["w"].shape[0]
+        x = conv1d(conv, x * mask, padding=[(k // 2, k // 2)])
+        x = jax.nn.relu(layer_norm(norm, x))
+        if dropout_rate > 0.0 and rng is not None:
+            keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, x.shape)
+            x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+    return (x_org + conv1d(p["proj"], x)) * mask
+
+
+def init_res_block1(key, channels: int, kernel: int = 3,
+                    dilation: Sequence[int] = (1, 3, 5)) -> Params:
+    ks = jax.random.split(key, 2 * len(dilation))
+    return {
+        "convs1": [init_conv1d(ks[2 * i], channels, channels, kernel)
+                   for i in range(len(dilation))],
+        "convs2": [init_conv1d(ks[2 * i + 1], channels, channels, kernel)
+                   for i in range(len(dilation))],
+    }
+
+
+def res_block1(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+               dilation: Sequence[int] = (1, 3, 5)) -> jnp.ndarray:
+    """HiFiGAN ResBlock1 (``modules.py:194-231``): per stage, leaky-relu ->
+    dilated conv -> leaky-relu -> undilated conv, residual add."""
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilation):
+        k = c1["w"].shape[0]
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        if mask is not None:
+            xt = xt * mask
+        pad = (k * d - d) // 2
+        xt = conv1d(c1, xt, padding=[(pad, pad)], dilation=d)
+        xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+        if mask is not None:
+            xt = xt * mask
+        xt = conv1d(c2, xt, padding=[(k // 2, k // 2)])
+        x = xt + x
+    return x * mask if mask is not None else x
+
+
+def init_res_block2(key, channels: int, kernel: int = 3,
+                    dilation: Sequence[int] = (1, 3)) -> Params:
+    ks = jax.random.split(key, len(dilation))
+    return {
+        "convs": [init_conv1d(ks[i], channels, channels, kernel)
+                  for i in range(len(dilation))],
+    }
+
+
+def res_block2(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+               dilation: Sequence[int] = (1, 3)) -> jnp.ndarray:
+    """HiFiGAN ResBlock2 (``modules.py:239-263``)."""
+    for c, d in zip(p["convs"], dilation):
+        k = c["w"].shape[0]
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        if mask is not None:
+            xt = xt * mask
+        pad = (k * d - d) // 2
+        xt = conv1d(c, xt, padding=[(pad, pad)], dilation=d)
+        x = xt + x
+    return x * mask if mask is not None else x
+
+
+# ---------------------------------------------------------------------------
 # coupling flows (modules.py:305-396)
 # ---------------------------------------------------------------------------
 

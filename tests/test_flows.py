@@ -143,6 +143,31 @@ def test_dds_conv_preserves_length_and_masks():
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+def test_conv_relu_norm_identity_at_init():
+    p = flows.init_conv_relu_norm(jax.random.key(2), in_ch=6, hidden=8,
+                                  out_ch=6, kernel=3, n_layers=2)
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(2, 9, 6)), jnp.float32)
+    mask = jnp.ones((2, 9, 1), jnp.float32)
+    # zero-init proj -> residual identity (modules.py:64-65)
+    np.testing.assert_allclose(
+        np.asarray(flows.conv_relu_norm(p, x, mask)), np.asarray(x), atol=1e-6
+    )
+
+
+def test_res_blocks_shapes_and_residual_growth():
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(2, 16, 4)), jnp.float32)
+    mask = jnp.ones((2, 16, 1), jnp.float32).at[:, 12:].set(0.0)
+    p1 = flows.init_res_block1(jax.random.key(3), channels=4)
+    y1 = flows.res_block1(p1, x, mask)
+    p2 = flows.init_res_block2(jax.random.key(4), channels=4)
+    y2 = flows.res_block2(p2, x, mask)
+    for y in (y1, y2):
+        assert y.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(y[:, 12:]), 0.0)
+        assert np.all(np.isfinite(np.asarray(y)))
+        assert float(jnp.max(jnp.abs(y - x * mask))) > 1e-4  # convs contribute
+
+
 # ----------------------------------------------------------- coupling layers
 
 
