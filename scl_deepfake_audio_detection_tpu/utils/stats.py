@@ -114,6 +114,25 @@ def bonferroni(pvalues: Sequence[float], alpha: float = 0.05) -> List[bool]:
     return [p <= alpha / m for p in pvalues]
 
 
+def rank_norm(data: Sequence[float], data_range: Sequence[int]) -> List[float]:
+    """Rank-normalize MOS-style integer scores (Rosenberg & Ramabhadran,
+    Interspeech 2017): each possible score value maps to
+    (mean rank of its occurrences - 1) / N, with unseen values mapping to
+    -1 (reference ``core_scripts/math_tools/mos_norm.py:29-85``).
+
+    >>> rank_norm([2, 1, 2, 10, 4, 5, 6, 4, 5, 7], [1, 10])[:4]
+    [0.15, 0.0, 0.15, 0.9]
+    """
+    data = np.asarray(data)
+    order = np.sort(data, kind="quicksort")
+    ranks = np.arange(len(order)) + 1
+    mapping = {}
+    for score in range(int(data_range[0]), int(data_range[1]) + 1):
+        idx = ranks[order == score]
+        mapping[score] = (float(np.mean(idx)) - 1) / len(data) if len(idx) else -1
+    return [mapping[x] for x in data]
+
+
 def holm(pvalues: Sequence[float], alpha: float = 0.05) -> List[bool]:
     """Holm-Bonferroni step-down procedure (uniformly more powerful than
     plain Bonferroni at the same family-wise error rate)."""
