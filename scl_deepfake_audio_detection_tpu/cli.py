@@ -146,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parity_tol", type=float, default=1e-2,
                    help="per-row |score diff| tolerance for --parity_check")
     # analysis mode (replaces Result.ipynb)
+    p.add_argument("--show_params", action="store_true", default=False,
+                   help="print the per-layer parameter table for the "
+                        "configured model and exit (reference "
+                        "script_model_para.py capability)")
     p.add_argument("--analyze", type=str, default=None, help="score file to analyze")
     p.add_argument("--protocol", type=str, default=None, help="protocol for --analyze")
     p.add_argument("--score_format", type=str, default="auto",
@@ -302,6 +306,15 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
     cfg.rawboost = _rawboost_from_args(args)
+
+    # --- parameter inspector (no device memory needed) -----------------------
+    if args.show_params:
+        from scl_deepfake_audio_detection_tpu.ops.layers import param_table
+
+        model = _build_model(args, cfg)
+        shapes = jax.eval_shape(model.init, jax.random.key(args.seed))
+        print(param_table(shapes))
+        return 0
 
     # --- cache warm-up mode (no model needed) --------------------------------
     if args.warm_cache:

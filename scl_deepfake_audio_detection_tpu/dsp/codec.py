@@ -110,6 +110,65 @@ def g711_roundtrip(x: np.ndarray, law: str = "alaw") -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# parametric companding (vocoder-style, arbitrary quantization levels)
+# ---------------------------------------------------------------------------
+# The continuous mu-law / A-law formulas at arbitrary channel counts — the
+# WaveNet-style quantizers of the reference's wav_tools
+# (``core_scripts/data_io/wav_tools.py:34-139``), distinct from the
+# table-driven 8-bit G.711 codecs above.
+
+
+def mulaw_compand(
+    x: np.ndarray, channels: int = 256, scale_to_int: bool = True
+) -> np.ndarray:
+    """mu-law compand a (-1, 1) waveform; int codes in [0, channels-1] or
+    the companded float in (-1, 1) (``wav_tools.py:34-56``)."""
+    mu = channels - 1.0
+    y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    if scale_to_int:
+        y = ((y + 1) / 2 * mu + 0.5).astype(np.int32)
+    return y
+
+
+def mulaw_expand(
+    y: np.ndarray, channels: int = 256, input_int: bool = True
+) -> np.ndarray:
+    """Invert :func:`mulaw_compand` (``wav_tools.py:57-80``)."""
+    mu = channels - 1.0
+    x = y / mu * 2 - 1.0 if input_int else np.asarray(y, np.float64)
+    return np.sign(x) * (np.exp(np.abs(x) * np.log1p(mu)) - 1.0) / mu
+
+
+def alaw_compand(
+    x: np.ndarray,
+    channels: int = 256,
+    scale_to_int: bool = True,
+    A: float = _ALAW_A,
+) -> np.ndarray:
+    """Continuous A-law compand (``wav_tools.py:82-107``): linear below
+    |x| = 1/A, logarithmic above."""
+    num = channels - 1.0
+    ax = A * np.abs(x)
+    y = np.where(ax >= 1, 1 + np.log(np.maximum(ax, 1.0)), ax)
+    y = np.sign(x) * y / (1 + np.log(A))
+    if scale_to_int:
+        y = ((y + 1) / 2 * num + 0.5).astype(np.int32)
+    return y
+
+
+def alaw_expand(
+    y: np.ndarray, channels: int = 256, input_int: bool = True, A: float = _ALAW_A
+) -> np.ndarray:
+    """Invert :func:`alaw_compand` (``wav_tools.py:109-139``)."""
+    num = channels - 1.0
+    x = y / num * 2 - 1.0 if input_int else np.asarray(y, np.float64)
+    sign = np.sign(x)
+    v = np.abs(x) * (1 + np.log(A))
+    v = np.where(v >= 1, np.exp(np.minimum(v, 700.0) - 1), v)
+    return sign * v / A
+
+
+# ---------------------------------------------------------------------------
 # telephone effect
 # ---------------------------------------------------------------------------
 

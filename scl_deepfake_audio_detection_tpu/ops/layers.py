@@ -322,3 +322,20 @@ def dropout(
 
 def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def param_table(params) -> str:
+    """Per-leaf parameter table: path, count, share, shape — the
+    reference's model-parameter inspector capability
+    (``core_scripts/other_tools/script_model_para.py:26-43``). Works on
+    real arrays and on ``jax.eval_shape`` abstract pytrees alike."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = sum(int(v.size) for _, v in leaves)
+    lines = [f"Parameter number: {total:d}"]
+    for path, v in leaves:
+        name = jax.tree_util.keystr(path)
+        lines.append(
+            f"Layer: {name}\tPara. num: {int(v.size):<10d} "
+            f"({100.0 * v.size / max(total, 1):04.1f}%)\tShape: {tuple(v.shape)}"
+        )
+    return "\n".join(lines)

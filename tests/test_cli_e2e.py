@@ -314,3 +314,21 @@ def test_cli_serve_mode(tmp_path, monkeypatch):
     for r in replies[:3]:
         float(r[1])  # numeric score
     assert replies[3][1].startswith("ERROR")
+
+
+def test_cli_show_params(capsys):
+    """--show_params: per-layer table via eval_shape, no device memory."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rc = main(["--show_params", "--ssl_preset", "tiny",
+               "--config", "configs/conf-3-linear.yaml"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("Parameter number: ")
+    total = int(out.splitlines()[0].split(":")[1])
+    # per-leaf counts sum to the total
+    import re
+
+    counts = [int(m) for m in re.findall(r"Para\. num: (\d+)", out)]
+    assert sum(counts) == total and total > 0
+    assert "['ssl']" in out and "Shape: (" in out

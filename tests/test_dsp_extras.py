@@ -178,3 +178,49 @@ def test_registry_has_new_augmentations():
 
     assert AUGMENTATIONS.get("telephone_wrapper")
     assert AUGMENTATIONS.get("codec_wrapper")
+
+
+def test_parametric_companding_roundtrips():
+    """mu/A-law at arbitrary channel counts (wav_tools.py:34-139 capability):
+    float-mode compand/expand is exact, int-mode error is bounded by the
+    quantization step."""
+    import numpy as np
+
+    from scl_deepfake_audio_detection_tpu.dsp.codec import (
+        alaw_compand,
+        alaw_expand,
+        mulaw_compand,
+        mulaw_expand,
+    )
+
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.normal(size=4000) * 0.3, -0.999, 0.999)
+    A = 87.6
+    for channels in (256, 1024):
+        mu = channels - 1.0
+        # expansion derivative wrt the companded value, per codec — the
+        # quantization error after expand is bounded by step * derivative
+        d_mu = lambda ax: (1.0 + mu * ax) * np.log1p(mu) / mu
+        d_a = lambda ax: (1 + np.log(A)) * np.maximum(ax, 1.0 / A)
+        for enc, dec, deriv in (
+            (mulaw_compand, mulaw_expand, d_mu),
+            (alaw_compand, alaw_expand, d_a),
+        ):
+            # float mode: exact inverse
+            y = enc(x, channels, scale_to_int=False)
+            assert np.all(np.abs(y) <= 1.0 + 1e-9)
+            np.testing.assert_allclose(dec(y, channels, input_int=False), x,
+                                       atol=1e-9)
+            # int mode: error within one step times the local derivative
+            codes = enc(x, channels, scale_to_int=True)
+            assert codes.dtype == np.int32
+            assert codes.min() >= 0 and codes.max() <= channels - 1
+            back = dec(codes, channels, input_int=True)
+            step = 2.0 / mu
+            assert np.all(np.abs(back - x) <= step * deriv(np.abs(x)) + 1e-9)
+    # zero maps to mid-code and back to ~0
+    assert abs(float(mulaw_expand(mulaw_compand(np.zeros(1)), 256))) < 1e-2
+    # monotonicity of the float compander
+    xs = np.linspace(-0.99, 0.99, 101)
+    assert np.all(np.diff(mulaw_compand(xs, 256, False)) > 0)
+    assert np.all(np.diff(alaw_compand(xs, 256, False)) > 0)
