@@ -155,6 +155,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score_format", type=str, default="auto",
                    choices=["auto", "eval", "pred"])
     p.add_argument("--subset", type=str, default=None)
+    p.add_argument("--asv_scores", type=str, default=None,
+                   help="organizers' ASV score file (source key score): adds "
+                        "the official min t-DCF to the --analyze report")
+    p.add_argument("--tdcf_version", type=str, default="legacy",
+                   choices=["legacy", "revised"],
+                   help="t-DCF form: 'legacy' (ASVspoof 2019) or 'revised' "
+                        "(ASVspoof 2021, constant-C0 normalization)")
     p.add_argument("--per_attack", action="store_true", default=False,
                    help="add per-attack EER breakdown to --analyze")
     p.add_argument("--plot", type=str, default=None,
@@ -245,6 +252,14 @@ def main(argv=None) -> int:
             rep = score_report(score_path, args.protocol, fmt=args.score_format,
                                subset=args.subset, per_attack=args.per_attack)
             print(rep)
+            if args.asv_scores:
+                from scl_deepfake_audio_detection_tpu.train.analysis import (
+                    tdcf_report,
+                )
+
+                print(tdcf_report(score_path, args.protocol, args.asv_scores,
+                                  version=args.tdcf_version,
+                                  fmt=args.score_format, subset=args.subset))
             if args.plot:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
                     matched_scores,

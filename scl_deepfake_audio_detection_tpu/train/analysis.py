@@ -150,6 +150,68 @@ def matched_scores(
     return np.asarray(tar), np.asarray(non)
 
 
+def load_asv_scores(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse an organizers'-format ASV score file into
+    (target, nontarget, spoof) score arrays.
+
+    The ASVspoof distribution format is whitespace columns
+    ``source key score`` with key in {target, nontarget, spoof}; parsing is
+    positional-flexible (the key column is detected by its values, the score
+    is the last float column) so trimmed/extended variants also load."""
+    keys = {"target", "nontarget", "spoof"}
+    out = {k: [] for k in keys}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            key = next((p for p in parts if p in keys), None)
+            if key is None:
+                continue
+            try:
+                score = float(parts[-1])
+            except ValueError:
+                continue
+            out[key].append(score)
+    if not out["target"] or not out["nontarget"]:
+        raise ValueError(
+            f"{path}: no target/nontarget ASV trials parsed — expected "
+            "whitespace columns containing a target/nontarget/spoof key and "
+            "a trailing float score"
+        )
+    return (
+        np.asarray(out["target"]),
+        np.asarray(out["nontarget"]),
+        np.asarray(out["spoof"]),
+    )
+
+
+def tdcf_report(
+    score_path: str,
+    protocol_path: str,
+    asv_score_path: str,
+    version: str = "legacy",
+    fmt: str = "auto",
+    subset: Optional[str] = None,
+    costs: Optional[dict] = None,
+) -> str:
+    """min t-DCF of a CM score file against the organizers' ASV scores —
+    the official ASVspoof ranking metric the reference never computes
+    (its ``evaluate_metrics.py`` stops at EER)."""
+    from scl_deepfake_audio_detection_tpu.train.metrics import min_tdcf
+
+    bona, spoof = matched_scores(score_path, protocol_path, fmt=fmt,
+                                 subset=subset)
+    tar_asv, non_asv, spoof_asv = load_asv_scores(asv_score_path)
+    val, thr = min_tdcf(bona, spoof, tar_asv, non_asv, spoof_asv,
+                        version=version, costs=costs)
+    asv_eer, asv_thr = compute_eer(tar_asv, non_asv)
+    return (
+        f"min t-DCF ({version}): {val:.4f} (CM threshold {thr:+.4f}; "
+        f"ASV fixed at its EER point: {100*asv_eer:.4f}% @ {asv_thr:+.4f})"
+    )
+
+
 def plot_score_distributions(
     tar: np.ndarray,
     non: np.ndarray,

@@ -80,3 +80,118 @@ def accuracy_from_log_probs(log_probs: np.ndarray, labels: np.ndarray) -> float:
     pred = np.argmax(np.asarray(log_probs), axis=-1)
     labels = np.asarray(labels).reshape(-1)
     return float((pred == labels).mean())
+
+
+# ---------------------------------------------------------------------------
+# Tandem detection cost function (min t-DCF)
+# ---------------------------------------------------------------------------
+# The official ASVspoof headline metric alongside EER (Kinnunen et al.,
+# "t-DCF: a Detection Cost Function for the Tandem Assessment of Spoofing
+# Countermeasures and Automatic Speaker Verification", Odyssey 2018; revised
+# form in IEEE/ACM TASLP 2020).  The reference repo reports EER only
+# (``evaluate_metrics.py``); challenge rankings use min t-DCF, so users
+# evaluating on ASVspoof 2019/2021 need it.  The ASV system is fixed at its
+# EER operating point (the organizers' convention) and the CM threshold is
+# swept.
+
+#: ASVspoof 2019 cost model (t-DCF "legacy" v1).
+TDCF_COSTS_ASVSPOOF19 = {
+    "Pspoof": 0.05, "Ptar": 0.9405, "Pnon": 0.0095,
+    "Cmiss_asv": 1.0, "Cfa_asv": 10.0, "Cmiss_cm": 1.0, "Cfa_cm": 10.0,
+}
+
+#: ASVspoof 2021 cost model (t-DCF "revised" v2: single Cmiss, constant C0).
+TDCF_COSTS_ASVSPOOF21 = {
+    "Pspoof": 0.05, "Ptar": 0.9405, "Pnon": 0.0095,
+    "Cmiss": 1.0, "Cfa_asv": 10.0, "Cfa_cm": 10.0,
+}
+
+
+def asv_error_rates(
+    tar_asv: np.ndarray,
+    non_asv: np.ndarray,
+    spoof_asv: np.ndarray,
+    threshold: float | None = None,
+) -> Tuple[float, float, float, float]:
+    """ASV miss/false-alarm rates at a threshold (its EER threshold when
+    None — the organizers' fixed operating point).
+
+    Returns (Pfa_asv, Pmiss_asv, Pmiss_spoof_asv, Pfa_spoof_asv): nontarget
+    accepts, target rejects, spoof rejects, spoof accepts."""
+    tar_asv = np.asarray(tar_asv, np.float64)
+    non_asv = np.asarray(non_asv, np.float64)
+    spoof_asv = np.asarray(spoof_asv, np.float64)
+    if threshold is None:
+        _, threshold = compute_eer(tar_asv, non_asv)
+    pfa = float(np.mean(non_asv >= threshold))
+    pmiss = float(np.mean(tar_asv < threshold))
+    pmiss_spoof = float(np.mean(spoof_asv < threshold))
+    return pfa, pmiss, pmiss_spoof, 1.0 - pmiss_spoof
+
+
+def tdcf_curve(
+    bona_cm: np.ndarray,
+    spoof_cm: np.ndarray,
+    Pfa_asv: float,
+    Pmiss_asv: float,
+    Pfa_spoof_asv: float,
+    version: str = "legacy",
+    costs: dict | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalized t-DCF over every CM threshold -> (tdcf_norm, thresholds).
+
+    ``version='legacy'`` is the ASVspoof 2019 form
+    (t-DCF = C1*Pmiss_cm + C2*Pfa_cm, normalized by min(C1, C2));
+    ``'revised'`` the 2021 form with the constant floor C0
+    (t-DCF = C0 + C1*Pmiss_cm + C2*Pfa_cm over C0 + min(C1, C2))."""
+    if version == "legacy":
+        c = dict(TDCF_COSTS_ASVSPOOF19, **(costs or {}))
+        c0 = 0.0
+        c1 = (
+            c["Ptar"] * (c["Cmiss_cm"] - c["Cmiss_asv"] * Pmiss_asv)
+            - c["Pnon"] * c["Cfa_asv"] * Pfa_asv
+        )
+        c2 = c["Cfa_cm"] * c["Pspoof"] * Pfa_spoof_asv
+    elif version == "revised":
+        c = dict(TDCF_COSTS_ASVSPOOF21, **(costs or {}))
+        c0 = (
+            c["Ptar"] * c["Cmiss"] * Pmiss_asv
+            + c["Pnon"] * c["Cfa_asv"] * Pfa_asv
+        )
+        c1 = c["Ptar"] * c["Cmiss"] - c0
+        c2 = c["Cfa_cm"] * c["Pspoof"] * Pfa_spoof_asv
+    else:
+        raise ValueError(f"unknown t-DCF version: {version!r}")
+    if c1 <= 0 or c2 <= 0:
+        raise ValueError(
+            "non-positive t-DCF cost coefficients: the ASV system performs "
+            f"at or worse than chance at its operating point "
+            f"(C1={c1:.4g}, C2={c2:.4g})"
+        )
+    # Pmiss_cm = FRR(bonafide rejected), Pfa_cm = FAR(spoof accepted) over
+    # the same operating points as the DET curve
+    pmiss_cm, pfa_cm, thresholds = det_curve(bona_cm, spoof_cm)
+    tdcf = c0 + c1 * pmiss_cm + c2 * pfa_cm
+    return tdcf / (c0 + min(c1, c2)), thresholds
+
+
+def min_tdcf(
+    bona_cm: np.ndarray,
+    spoof_cm: np.ndarray,
+    tar_asv: np.ndarray,
+    non_asv: np.ndarray,
+    spoof_asv: np.ndarray,
+    version: str = "legacy",
+    costs: dict | None = None,
+    asv_threshold: float | None = None,
+) -> Tuple[float, float]:
+    """Minimum normalized t-DCF and the CM threshold achieving it, with the
+    ASV system fixed at ``asv_threshold`` (its EER point when None)."""
+    pfa, pmiss, _, pfa_spoof = asv_error_rates(
+        tar_asv, non_asv, spoof_asv, asv_threshold
+    )
+    curve, thresholds = tdcf_curve(
+        bona_cm, spoof_cm, pfa, pmiss, pfa_spoof, version=version, costs=costs
+    )
+    idx = int(np.argmin(curve))
+    return float(curve[idx]), float(thresholds[idx])

@@ -117,3 +117,54 @@ def test_analyze_accepts_score_shard_glob(tmp_path):
     rc = main(["--analyze", str(tmp_path / "scores.txt.part*"),
                "--protocol", str(proto), "--score_format", "eval"])
     assert rc == 0
+
+
+def test_tdcf_report_end_to_end(tmp_path, capsys):
+    """--analyze --asv_scores prints a min t-DCF line for both cost models,
+    and the number matches metrics.min_tdcf on the same parsed arrays."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+    from scl_deepfake_audio_detection_tpu.train.analysis import (
+        load_asv_scores,
+        matched_scores,
+    )
+    from scl_deepfake_audio_detection_tpu.train.metrics import min_tdcf
+
+    rng = np.random.default_rng(11)
+    proto, scores, asv = (tmp_path / n for n in
+                          ("protocol.txt", "scores.txt", "asv.txt"))
+    plines, slines = [], []
+    for i in range(40):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        plines.append(f"spk u{i} - none {label}")
+        s = (1.0 if label == "bonafide" else -1.0) + rng.normal() * 0.5
+        slines.append(f"u{i} {-abs(s):.4f} {s:.4f}")
+    proto.write_text("\n".join(plines) + "\n")
+    scores.write_text("\n".join(slines) + "\n")
+    alines = [f"a{i:03d} target {rng.normal(2.0):.4f}" for i in range(50)]
+    alines += [f"a{i:03d} nontarget {rng.normal(-2.0):.4f}" for i in range(50)]
+    alines += [f"a{i:03d} spoof {rng.normal(0.5):.4f}" for i in range(50)]
+    asv.write_text("\n".join(alines) + "\n")
+
+    for version in ("legacy", "revised"):
+        rc = main(["--analyze", str(scores), "--protocol", str(proto),
+                   "--score_format", "eval", "--asv_scores", str(asv),
+                   "--tdcf_version", version])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert f"min t-DCF ({version}):" in out
+
+        bona, spoof = matched_scores(str(scores), str(proto), fmt="eval")
+        tar_a, non_a, spoof_a = load_asv_scores(str(asv))
+        want, _ = min_tdcf(bona, spoof, tar_a, non_a, spoof_a, version=version)
+        line = next(l for l in out.splitlines() if "min t-DCF" in l)
+        assert float(line.split(":")[1].split("(")[0]) == pytest.approx(
+            want, abs=5e-5)
+
+
+def test_load_asv_scores_rejects_empty(tmp_path):
+    bad = tmp_path / "asv.txt"
+    bad.write_text("utt spoof 0.5\nnot-a-trial\n")
+    from scl_deepfake_audio_detection_tpu.train.analysis import load_asv_scores
+
+    with pytest.raises(ValueError, match="target/nontarget"):
+        load_asv_scores(str(bad))
