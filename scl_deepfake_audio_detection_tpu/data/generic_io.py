@@ -245,6 +245,22 @@ class GenericDataset:
         # stream slices on frame boundaries (default_data_io.py:294)
         resos = [s.reso for s in self.inputs + self.outputs if s.reso > 0]
         self.single_reso = max(resos) if resos else 1
+        # snap truncate/min lengths to the coarsest resolution so segment
+        # boundaries land on frame boundaries in EVERY stream — otherwise
+        # coarse streams slice tick-shifted and tail ticks zero-fill
+        # (reference f_adjust_len, default_data_io.py:299-306,986-992)
+        if self.truncate_seq is not None:
+            adj = self.truncate_seq // self.single_reso * self.single_reso
+            if adj <= 0:
+                raise ValueError(
+                    f"truncate_seq={self.truncate_seq} is shorter than the "
+                    f"coarsest stream resolution ({self.single_reso})"
+                )
+            self.truncate_seq = adj
+        if self.min_seq_len is not None:
+            self.min_seq_len = (
+                self.min_seq_len // self.single_reso * self.single_reso
+            )
         self._stats_path = (
             os.path.join(stats_dir, f"{name}_stats.npz") if stats_dir else None
         )
@@ -357,6 +373,11 @@ class GenericDataset:
             return False
         z = np.load(self._stats_path, allow_pickle=False)
         if z["in_mean"].shape[0] != self.in_dim or z["out_mean"].shape[0] != self.out_dim:
+            return False
+        # same freshness rule as the length cache: stats computed over a
+        # different file list must not normalize this corpus
+        if "length_names" not in z or \
+                {str(n) for n in z["length_names"]} != set(self.file_list):
             return False
         self.in_mean = z["in_mean"].astype(np.float32)
         self.in_std = z["in_std"].astype(np.float32)

@@ -237,12 +237,15 @@ def init_wn(
     key,
     hidden: int,
     kernel: int,
-    dilation_rate: int,
     n_layers: int,
     gin: int = 0,
 ) -> Params:
     """WaveNet-style stack: per layer a dilated conv to 2*hidden (gate),
-    then a 1x1 res+skip conv (2*hidden except the last layer: hidden)."""
+    then a 1x1 res+skip conv (2*hidden except the last layer: hidden).
+
+    Dilation does not change weight shapes, so it is an APPLY-time knob
+    (``wn(..., dilation_rate=)``) and deliberately not an init argument —
+    a stored-but-ignored copy would invite silent mismatches."""
     if kernel % 2 != 1:
         raise ValueError("WN kernel must be odd")
     ks = jax.random.split(key, 2 * n_layers + 1)
@@ -274,7 +277,13 @@ def wn(
     ``modules.py:156-186``)."""
     hidden = x.shape[-1]
     n_layers = len(p["in_layers"])
-    cond = conv1d(p["cond"], g) if (g is not None and "cond" in p) else None
+    if g is not None and "cond" not in p:
+        # the torch WN has no cond_layer unless gin_channels was set and
+        # crashes on g; silently dropping the conditioning would train an
+        # unconditional flow that merely looks conditional
+        raise ValueError("wn() got conditioning g but params were "
+                         "initialized with gin=0 (no cond layer)")
+    cond = conv1d(p["cond"], g) if g is not None else None
     output = jnp.zeros_like(x)
     for i in range(n_layers):
         k = kernel if kernel is not None else p["in_layers"][i]["w"].shape[0]
@@ -372,12 +381,15 @@ def conv_relu_norm(
     """Residual conv->LN->ReLU stack with a zero-init projection
     (``ConvReluNorm``, ``modules.py:42-74``); identity at init."""
     x_org = x
-    for conv, norm in zip(p["convs"], p["norms"]):
+    for i, (conv, norm) in enumerate(zip(p["convs"], p["norms"])):
         k = conv["w"].shape[0]
         x = conv1d(conv, x * mask, padding=[(k // 2, k // 2)])
         x = jax.nn.relu(layer_norm(norm, x))
         if dropout_rate > 0.0 and rng is not None:
-            keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, x.shape)
+            # independent mask per depth (reference uses a fresh nn.Dropout
+            # draw each layer; reusing one key would correlate all layers)
+            layer_rng = jax.random.fold_in(rng, i)
+            keep = jax.random.bernoulli(layer_rng, 1.0 - dropout_rate, x.shape)
             x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
     return (x_org + conv1d(p["proj"], x)) * mask
 
@@ -454,18 +466,18 @@ def init_residual_coupling(
     channels: int,
     hidden: int,
     kernel: int,
-    dilation_rate: int,
     n_layers: int,
     gin: int = 0,
     mean_only: bool = False,
 ) -> Params:
+    """Dilation is an apply-time knob (see ``init_wn``)."""
     if channels % 2 != 0:
         raise ValueError("channels should be divisible by 2")
     half = channels // 2
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         "pre": init_conv1d(k1, half, hidden, 1),
-        "enc": init_wn(k2, hidden, kernel, dilation_rate, n_layers, gin=gin),
+        "enc": init_wn(k2, hidden, kernel, n_layers, gin=gin),
         "post": _zero_conv(init_conv1d(k3, hidden, half * (2 - int(mean_only)), 1)),
     }
 

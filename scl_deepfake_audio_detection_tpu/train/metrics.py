@@ -121,6 +121,13 @@ def asv_error_rates(
     tar_asv = np.asarray(tar_asv, np.float64)
     non_asv = np.asarray(non_asv, np.float64)
     spoof_asv = np.asarray(spoof_asv, np.float64)
+    if spoof_asv.size == 0:
+        # np.mean of an empty array is NaN, which would flow through the
+        # cost coefficients unreported (NaN passes every <= guard)
+        raise ValueError(
+            "t-DCF needs spoof-trial ASV scores (Pfa_spoof_asv); the ASV "
+            "score file contains none"
+        )
     if threshold is None:
         _, threshold = compute_eer(tar_asv, non_asv)
     pfa = float(np.mean(non_asv >= threshold))

@@ -108,6 +108,7 @@ def bucketed_batches(
     Short items tile-repeat to the bucket length (``padding_type='repeat'``)
     or zero-pad; ``max_len`` caps long items by truncation.
     """
+    from scl_deepfake_audio_detection_tpu.data.generic_io import pad_to_bucket
     from scl_deepfake_audio_detection_tpu.data.sampler import length_buckets
     from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
 
@@ -119,7 +120,7 @@ def bucketed_batches(
     for idx_batch in length_buckets(lengths, batch_size):
         target = max(lengths[i] for i in idx_batch)
         if bucket_multiple:
-            target = -(-target // bucket_multiple) * bucket_multiple
+            target = pad_to_bucket(target, bucket_multiple)
         batch = np.stack(
             [pad_eval(wavs[i], padding_type, target) for i in idx_batch]
         ).astype(np.float32)

@@ -61,12 +61,13 @@ def listdir_stems(
         )
     stems: List[str] = []
     root_prefix = file_dir.rstrip(os.sep) + os.sep
-    for root, _dirs, files in os.walk(root_prefix, followlinks=True):
+    for root, dirs, files in os.walk(root_prefix, followlinks=True):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]  # prune dot-dirs
         rel = root[len(root_prefix):] if root.startswith(root_prefix) else root
         stems += [
             os.path.splitext(os.path.join(rel, n))[0]
             for n in files
-            if ext is None or n.endswith(ext)
+            if not n.startswith(".") and (ext is None or n.endswith(ext))
         ]
     return sorted(stems)
 

@@ -119,7 +119,7 @@ def test_elementwise_affine_roundtrip_and_logdet():
 
 
 def test_wn_shapes_mask_and_conditioning():
-    p = flows.init_wn(jax.random.key(0), hidden=8, kernel=3, dilation_rate=2,
+    p = flows.init_wn(jax.random.key(0), hidden=8, kernel=3,
                       n_layers=3, gin=4)
     x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 10, 8)), jnp.float32)
     g = jnp.asarray(np.random.default_rng(5).normal(size=(2, 10, 4)), jnp.float32)
@@ -174,7 +174,7 @@ def test_res_blocks_shapes_and_residual_growth():
 def test_residual_coupling_identity_at_init_then_roundtrip():
     key = jax.random.key(7)
     p = flows.init_residual_coupling(key, channels=8, hidden=16, kernel=3,
-                                     dilation_rate=1, n_layers=2)
+                                     n_layers=2)
     x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 6, 8)), jnp.float32)
     mask = jnp.ones((2, 6, 1), jnp.float32)
     # zero-init post conv -> identity with zero logdet (modules.py:328-329)
@@ -192,7 +192,7 @@ def test_residual_coupling_identity_at_init_then_roundtrip():
 def test_residual_coupling_mean_only():
     key = jax.random.key(8)
     p = flows.init_residual_coupling(key, channels=4, hidden=8, kernel=3,
-                                     dilation_rate=1, n_layers=2, mean_only=True)
+                                     n_layers=2, mean_only=True)
     p["post"]["w"] = 0.1 * jax.random.normal(key, p["post"]["w"].shape)
     x = jnp.asarray(np.random.default_rng(8).normal(size=(1, 5, 4)), jnp.float32)
     mask = jnp.ones((1, 5, 1), jnp.float32)
@@ -246,3 +246,34 @@ def test_conv_flow_jits_and_differentiates():
     flat = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in flat)
+
+
+def test_wn_rejects_conditioning_without_cond_layer():
+    """g passed to a gin=0 stack must error, not silently train
+    unconditionally (the torch WN crashes: no cond_layer exists)."""
+    p = flows.init_wn(jax.random.key(1), hidden=4, kernel=3, n_layers=2)
+    x = jnp.ones((1, 6, 4), jnp.float32)
+    mask = jnp.ones((1, 6, 1), jnp.float32)
+    with pytest.raises(ValueError, match="gin=0"):
+        flows.wn(p, x, mask, g=jnp.ones((1, 6, 3), jnp.float32))
+
+
+def test_conv_relu_norm_dropout_masks_differ_per_layer():
+    p = flows.init_conv_relu_norm(jax.random.key(3), in_ch=4, hidden=4,
+                                  out_ch=4, kernel=3, n_layers=3)
+    # the projection is zero-init (identity module) — perturb it so the
+    # dropout-carrying hidden path reaches the output
+    p["proj"]["w"] = 0.5 * jax.random.normal(jax.random.key(4),
+                                             p["proj"]["w"].shape)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 4)), jnp.float32)
+    mask = jnp.ones((1, 8, 1), jnp.float32)
+    y1 = flows.conv_relu_norm(p, x, mask, dropout_rate=0.5, rng=jax.random.key(0))
+    y2 = flows.conv_relu_norm(p, x, mask, dropout_rate=0.5, rng=jax.random.key(0))
+    y3 = flows.conv_relu_norm(p, x, mask, dropout_rate=0.5, rng=jax.random.key(9))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))  # keyed
+    assert float(jnp.max(jnp.abs(y1 - y3))) > 0.0  # key-dependent
+    # per-layer independence: fold_in(rng, i) must differ across layers
+    k = jax.random.key(0)
+    m0 = jax.random.bernoulli(jax.random.fold_in(k, 0), 0.5, (1, 8, 4))
+    m1 = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.5, (1, 8, 4))
+    assert bool(jnp.any(m0 != m1))

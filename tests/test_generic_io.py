@@ -317,3 +317,45 @@ def test_pad_to_bucket():
     assert pad_to_bucket(256, 256) == 256
     assert pad_to_bucket(257, 256) == 512
     assert pad_to_bucket(100, 1) == 100
+
+
+def test_truncate_seq_snaps_to_coarsest_reso(tmp_path):
+    """truncate_seq not divisible by single_reso floors to a multiple
+    (reference f_adjust_len) so coarse streams never slice mid-frame."""
+    root = str(tmp_path)
+    fd, ld = os.path.join(root, "frame"), os.path.join(root, "samp")
+    os.makedirs(fd)
+    os.makedirs(ld)
+    frames = np.arange(10, dtype=np.float32).reshape(10, 1)  # reso 5
+    samples = np.arange(50, dtype=np.float32).reshape(50, 1)
+    write_raw_mat(frames, os.path.join(fd, "u.f"))
+    write_raw_mat(samples, os.path.join(ld, "u.s"))
+    specs = [FeatureSpec(fd, ".f", 1, reso=5), FeatureSpec(ld, ".s", 1, reso=1)]
+    ds = GenericDataset("tr", ["u"], specs, truncate_seq=12,
+                        compute_norm_stats=False)
+    assert ds.truncate_seq == 10  # floored from 12
+    # every segment starts on a coarse frame boundary and reassembles exactly
+    assert [(s.length, s.start_pos) for s in ds.seq_info] == \
+        [(10, 0), (10, 10), (10, 20), (10, 30), (10, 40)]
+    full = np.concatenate([ds[i][0] for i in range(len(ds))])
+    np.testing.assert_array_equal(full[:, 0], np.repeat(np.arange(10), 5))
+    np.testing.assert_array_equal(full[:, 1], np.arange(50))
+    with pytest.raises(ValueError, match="coarsest"):
+        GenericDataset("tr", ["u"], specs, truncate_seq=3,
+                       compute_norm_stats=False)
+
+
+def test_stale_stats_not_applied_to_changed_file_list(tmp_path):
+    """Norm stats persisted for one file list must be recomputed, not
+    reapplied, when the list changes (same freshness rule as lengths)."""
+    fspec, lspec, _ = _make_corpus(
+        str(tmp_path), [("u1", 60), ("u2", 40), ("u3", 50)], seed=3
+    )
+    stats = str(tmp_path / "stats")
+    ds1 = GenericDataset("tr", ["u1", "u2"], [fspec], [lspec], stats_dir=stats)
+    ds2 = GenericDataset("tr", ["u1", "u3"], [fspec], [lspec], stats_dir=stats)
+    # recomputed over the new corpus -> still globally standardized
+    allx = np.concatenate([ds2[i][0] for i in range(len(ds2))])
+    np.testing.assert_allclose(allx.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(allx.std(0, ddof=1), 1.0, atol=1e-3)
+    assert not np.allclose(ds1.in_mean, ds2.in_mean)

@@ -193,6 +193,10 @@ def test_tdcf_rejects_bad_version_and_chance_asv():
     with pytest.raises(ValueError, match="coefficients"):
         min_tdcf(bona, spoof, ok_tar, ok_non, np.array([-99.0, -98.0]),
                  version="legacy")
+    # NO spoof ASV trials at all -> explicit error, not a silent NaN
+    # (np.mean([]) is NaN and NaN passes every <= guard)
+    with pytest.raises(ValueError, match="spoof-trial"):
+        min_tdcf(bona, spoof, ok_tar, ok_non, np.array([]), version="legacy")
 
 
 def test_tdcf_cost_override_changes_result():

@@ -114,7 +114,7 @@ def test_listdir_stems(tmp_path):
     assert fl.listdir_stems(str(tmp_path), ext="wav") == ["a"]
     assert fl.listdir_stems(str(tmp_path)) == ["a", "b"]
     rec = fl.listdir_stems(str(tmp_path), ext="wav", recursive=True)
-    assert rec == [".hidden", "a", os.path.join("sub", "c")]
+    assert rec == ["a", os.path.join("sub", "c")]  # dotfiles skipped
     assert fl.listdir_stems(str(tmp_path / "missing")) == []
 
 
