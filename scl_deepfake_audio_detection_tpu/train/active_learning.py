@@ -28,9 +28,14 @@ import numpy as np
 
 
 def criterion_entropy(log_probs: np.ndarray, rng) -> np.ndarray:
-    """Predictive entropy, descending = most uncertain first."""
+    """Predictive entropy, descending = most uncertain first.
+
+    Saturated log_softmax outputs carry -inf for the losing classes;
+    0 * -inf is NaN and a NaN score would silently sort the item LAST —
+    permanently excluding it from selection — so those terms contribute
+    their true limit, 0."""
     p = np.exp(log_probs)
-    return -(p * log_probs).sum(-1)
+    return -(p * np.where(p > 0.0, log_probs, 0.0)).sum(-1)
 
 
 def criterion_margin(log_probs: np.ndarray, rng) -> np.ndarray:
@@ -73,11 +78,23 @@ class ALState:
     history: List[List[int]] = field(default_factory=list)  # per-cycle picks
 
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
-            json.dump(
-                {"train": self.train_idx, "pool": self.pool_idx,
-                 "history": self.history}, f,
-            )
+        # atomic: this cache exists to survive interrupted runs, so the
+        # write itself must survive a mid-write kill (tmp + os.replace,
+        # same pattern as checkpoint._write_flat)
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"train": self.train_idx, "pool": self.pool_idx,
+                     "history": self.history}, f,
+                )
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     @classmethod
     def load(cls, path: str) -> "ALState":

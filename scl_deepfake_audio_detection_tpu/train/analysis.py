@@ -21,7 +21,11 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from scl_deepfake_audio_detection_tpu.data.protocols import parse_protocol
-from scl_deepfake_audio_detection_tpu.train.metrics import compute_eer, confusion_counts
+from scl_deepfake_audio_detection_tpu.train.metrics import (
+    compute_eer,
+    confusion_counts,
+    min_tdcf,
+)
 
 
 def load_scores(path: str, fmt: str = "auto") -> Dict[str, float]:
@@ -40,6 +44,11 @@ def load_scores(path: str, fmt: str = "auto") -> Dict[str, float]:
                 continue
             utts.append(parts[0])
             cols.append((float(parts[1]), float(parts[2])))
+    if not utts:
+        raise ValueError(
+            f"{path}: no score rows parsed — expected at least 3 whitespace "
+            "columns per line ('utt cm0 cm1' eval format or 'utt score pred')"
+        )
     if fmt == "auto":
         last = np.array([c[1] for c in cols])
         fmt = "pred" if np.all(last == np.round(last)) and np.all(np.abs(last) <= 1) else "eval"
@@ -87,29 +96,9 @@ def score_report(
     scores pooled against all bonafide scores (the notebook's per-system
     analysis over the protocol's attack column).
     """
-    scores = load_scores(score_path, fmt=fmt)
-    trials = parse_protocol(protocol_path)
-    if subset is not None:
-        trials = [t for t in trials if t.subset == subset]
-
-    def norm(u: str) -> str:
-        return os.path.basename(u).split(".")[0]
-
-    by_key = {norm(u): s for u, s in scores.items()}
-    tar, non = [], []
-    non_by_attack: Dict[str, List[float]] = {}
-    for t in trials:
-        if t.label is None:
-            continue
-        s = by_key.get(norm(t.utt))
-        if s is None:
-            continue
-        if t.label == 1:
-            tar.append(s)
-        else:
-            non.append(s)
-            if per_attack:
-                non_by_attack.setdefault(t.attack or "unknown", []).append(s)
+    tar, non, non_by_attack = _joined_trials(
+        score_path, protocol_path, fmt=fmt, subset=subset
+    )
     tar_a, non_a = np.asarray(tar), np.asarray(non)
     eer, thr = compute_eer(tar_a, non_a)
 
@@ -130,23 +119,44 @@ def score_report(
     )
 
 
+def _joined_trials(
+    score_path: str, protocol_path: str, fmt: str = "auto",
+    subset: Optional[str] = None,
+) -> Tuple[List[float], List[float], Dict[str, List[float]]]:
+    """The one score<->protocol join (Result.ipynb semantics: keys are
+    extension-less basenames): -> (bonafide, spoof, spoof-by-attack)."""
+    scores = load_scores(score_path, fmt=fmt)
+    trials = parse_protocol(protocol_path)
+    if subset is not None:
+        trials = [t for t in trials if t.subset == subset]
+
+    def norm(u: str) -> str:
+        return os.path.basename(u).split(".")[0]
+
+    by_key = {norm(u): s for u, s in scores.items()}
+    tar: List[float] = []
+    non: List[float] = []
+    non_by_attack: Dict[str, List[float]] = {}
+    for t in trials:
+        if t.label is None:
+            continue
+        s = by_key.get(norm(t.utt))
+        if s is None:
+            continue
+        if t.label == 1:
+            tar.append(s)
+        else:
+            non.append(s)
+            non_by_attack.setdefault(t.attack or "unknown", []).append(s)
+    return tar, non, non_by_attack
+
+
 def matched_scores(
     score_path: str, protocol_path: str, fmt: str = "auto",
     subset: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(bonafide scores, spoof scores) joined like ``score_report``."""
-    scores = load_scores(score_path, fmt=fmt)
-    trials = parse_protocol(protocol_path)
-    if subset is not None:
-        trials = [t for t in trials if t.subset == subset]
-    by_key = {os.path.basename(u).split(".")[0]: s for u, s in scores.items()}
-    tar, non = [], []
-    for t in trials:
-        if t.label is None:
-            continue
-        s = by_key.get(os.path.basename(t.utt).split(".")[0])
-        if s is not None:
-            (tar if t.label == 1 else non).append(s)
+    tar, non, _ = _joined_trials(score_path, protocol_path, fmt=fmt, subset=subset)
     return np.asarray(tar), np.asarray(non)
 
 
@@ -198,8 +208,6 @@ def tdcf_report(
     """min t-DCF of a CM score file against the organizers' ASV scores —
     the official ASVspoof ranking metric the reference never computes
     (its ``evaluate_metrics.py`` stops at EER)."""
-    from scl_deepfake_audio_detection_tpu.train.metrics import min_tdcf
-
     bona, spoof = matched_scores(score_path, protocol_path, fmt=fmt,
                                  subset=subset)
     tar_asv, non_asv, spoof_asv = load_asv_scores(asv_score_path)

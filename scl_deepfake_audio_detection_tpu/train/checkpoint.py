@@ -83,22 +83,40 @@ def _gather_flat(tree) -> Dict[str, np.ndarray]:
     return {k: _to_host(v) for k, v in _flatten(tree).items()}
 
 
+_META_KEY = "__scl_meta__"
+
+
 def _write_flat(path: str, flat: Dict[str, np.ndarray],
                 extra: Optional[Dict[str, Any]]) -> None:
-    """Atomic npz + json-sidecar write (process-0 filesystem work only)."""
+    """Atomic npz write (process-0 filesystem work only).
+
+    The metadata rides INSIDE the npz (a 0-d unicode array under
+    ``_META_KEY``) so arrays+meta commit in ONE os.replace — a crash between
+    two file writes can never pair new arrays with a stale epoch/best.  The
+    ``.json`` sidecar is still written (afterwards, atomically) as the
+    human-readable convenience copy; ``load`` prefers the embedded meta."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     meta = {"keys": sorted(flat), "extra": extra or {}}
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
+    meta_json = json.dumps(meta)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d)
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, **flat)
+            np.savez(f, **flat, **{_META_KEY: np.asarray(meta_json)})
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
-    with open(path + ".json", "w") as f:
-        json.dump(meta, f)
+    fd, tmp = tempfile.mkstemp(dir=d)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(meta_json)
+        os.replace(tmp, path + ".json")
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def save(path: str, tree, extra: Optional[Dict[str, Any]] = None) -> None:
@@ -121,10 +139,15 @@ def load(path: str) -> Tuple[Any, Dict[str, Any]]:
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     extra = {}
-    meta_path = path + ".json"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            extra = json.load(f).get("extra", {})
+    embedded = flat.pop(_META_KEY, None)
+    if embedded is not None:
+        # embedded meta committed atomically with the arrays — authoritative
+        extra = json.loads(str(embedded)).get("extra", {})
+    else:  # pre-embed checkpoints: fall back to the sidecar
+        meta_path = path + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                extra = json.load(f).get("extra", {})
     return _unflatten_dicts(flat), extra
 
 

@@ -78,15 +78,18 @@ def _gan_step(
     *, gen, disc, optimizer_g, optimizer_d, d_loss_fn, g_loss_fn,
     aux_loss_fn=None, weight_clip=None, g_every=1,
 ):
-    rng_g, rng_d, rng_g2 = jax.random.split(rng, 3)
+    # independent keys per forward: a dropout-using D must draw a fresh mask
+    # for the real pass, the fake pass, and the generator objective's pass
+    # (reusing one key correlates real/fake gradients through a single mask)
+    rng_g, rng_d_real, rng_d_fake, rng_g2, rng_d_g = jax.random.split(rng, 5)
 
     # --- discriminator update: real up, (stop-gradient) fake down ----------
     fake = gen.apply(params_g, z, train=True, rng=rng_g)
     fake_sg = jax.lax.stop_gradient(fake)
 
     def d_objective(pd):
-        d_real = disc.apply(pd, real, train=True, rng=rng_d)
-        d_fake = disc.apply(pd, fake_sg, train=True, rng=rng_d)
+        d_real = disc.apply(pd, real, train=True, rng=rng_d_real)
+        d_fake = disc.apply(pd, fake_sg, train=True, rng=rng_d_fake)
         return d_loss_fn(d_real, d_fake)
 
     d_val, d_grads = jax.value_and_grad(d_objective)(params_d)
@@ -102,7 +105,7 @@ def _gan_step(
     # --- generator update through the UPDATED discriminator ----------------
     def g_objective(pg):
         f = gen.apply(pg, z, train=True, rng=rng_g2)
-        gan_term = g_loss_fn(disc.apply(params_d, f, train=True, rng=rng_d))
+        gan_term = g_loss_fn(disc.apply(params_d, f, train=True, rng=rng_d_g))
         aux_term = (
             aux_loss_fn(f, real) if aux_loss_fn is not None
             else jnp.zeros((), jnp.float32)

@@ -99,20 +99,28 @@ def read_log_train(
             if "Duration" in line:
                 started = True
     split = (lambda s: s.split()) if sep == " " else (lambda s: s.split(sep))
-    time_per_epoch = np.zeros(len(rows))
-    train_mat: Optional[np.ndarray] = None
-    val_mat: Optional[np.ndarray] = None
-    for i, line in enumerate(rows):
+    # two passes: collect only fully-parsed rows first, THEN size the
+    # matrices to the widest row.  Sizing from the first row crashes when a
+    # later epoch logs more loss terms, and keeping half-parsed rows leaves
+    # silent all-zero curve points (decorative separators, footers).
+    parsed: List[Tuple[float, List[float], List[float]]] = []
+    for line in rows:
         cells = line.split("|")
+        if len(cells) < 4:
+            continue
         try:
-            time_per_epoch[i] = float(cells[1])
+            t = float(cells[1])
+            trn = [_sum_number_group(x) for x in split(cells[2])]
+            val = [_sum_number_group(x) for x in split(cells[3])]
         except ValueError:
             continue
-        trn = [_sum_number_group(x) for x in split(cells[2])]
-        val = [_sum_number_group(x) for x in split(cells[3])]
-        if train_mat is None:
-            train_mat = np.zeros((len(rows), len(trn)))
-            val_mat = np.zeros((len(rows), len(val)))
+        parsed.append((t, trn, val))
+    time_per_epoch = np.array([t for t, _, _ in parsed])
+    if not parsed:
+        return None, None, time_per_epoch
+    train_mat = np.full((len(parsed), max(len(p[1]) for p in parsed)), np.nan)
+    val_mat = np.full((len(parsed), max(len(p[2]) for p in parsed)), np.nan)
+    for i, (_, trn, val) in enumerate(parsed):
         train_mat[i, : len(trn)] = trn
         val_mat[i, : len(val)] = val
     return train_mat, val_mat, time_per_epoch

@@ -121,6 +121,12 @@ def bucketed_batches(
         target = max(lengths[i] for i in idx_batch)
         if bucket_multiple:
             target = pad_to_bucket(target, bucket_multiple)
+        if max_len is not None:
+            # max_len is a hard cap: bucket rounding must not raise the pad
+            # target above it (long items would silently keep up to
+            # bucket_multiple-1 extra real samples and the batch would exceed
+            # the user's memory/compile bound)
+            target = min(target, max_len)
         batch = np.stack(
             [pad_eval(wavs[i], padding_type, target) for i in idx_batch]
         ).astype(np.float32)

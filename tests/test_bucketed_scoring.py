@@ -50,8 +50,10 @@ def test_bucketed_batches_max_len_truncates():
         bucketed_batches(wavs, ["u0"], batch_size=1, bucket_multiple=8000,
                          max_len=20000)
     )
-    assert b.shape == (1, 24000)  # 20000 rounded up to 24000
-    np.testing.assert_array_equal(b[0, :20000], wavs[0][:20000])
+    # max_len is a HARD cap: bucket rounding (20000 -> 24000) is clamped
+    # back so the batch never exceeds the user's memory/compile bound
+    assert b.shape == (1, 20000)
+    np.testing.assert_array_equal(b[0], wavs[0][:20000])
 
 
 def test_compile_count_bucket_vs_exact_vs_fixed():
@@ -97,3 +99,19 @@ def test_bucketed_vs_exact_same_scores_for_full_buckets():
     (bb, ub), = list(bucketed_batches(wavs, utts, 2, bucket_multiple=16000))
     assert ue == ub
     np.testing.assert_array_equal(be, bb)
+
+
+def test_bucketed_batches_max_len_caps_bucket_rounding():
+    """Bucket rounding must never raise the pad target above max_len: long
+    items are truncated AT the cap and the batch never exceeds it."""
+    rng = np.random.default_rng(0)
+    wavs = [rng.normal(size=n).astype(np.float32) for n in (100_000, 70_000, 500)]
+    out = list(bucketed_batches(wavs, ["a", "b", "c"], batch_size=2,
+                                bucket_multiple=16000, max_len=64600))
+    for batch, utts in out:
+        assert batch.shape[1] <= 64600, (batch.shape, utts)
+    # the long pair lands in one capped batch with exactly max_len samples
+    long_batch = next(b for b, u in out if "a" in u)
+    assert long_batch.shape[1] == 64600
+    np.testing.assert_array_equal(long_batch[list(
+        u for b, u in out if "a" in u)[0].index("a")], wavs[0][:64600])

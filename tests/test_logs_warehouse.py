@@ -48,8 +48,7 @@ def test_read_log_train_reference_format(tmp_path):
         f.write("1 | 120.5 | 2.0/0.5 | 2.2/0.6 | yes\n")
         f.write("2 | 118.0 | 1.5 0.1/0.4 | 1.9/0.5 | no\n")
     trn, val, secs = logs.read_log_train(str(p))
-    # the dashed row parses as zeros (reference skips the time then leaves
-    # the preallocated row); numeric rows carry the curves
+    # the dashed separator row is skipped entirely (no silent zero rows)
     np.testing.assert_allclose(secs[-2:], [120.5, 118.0])
     np.testing.assert_allclose(trn[-2:], [[2.0, 0.5], [1.6, 0.4]])  # "1.5 0.1" sums
     np.testing.assert_allclose(val[-2:], [[2.2, 0.6], [1.9, 0.5]])
@@ -115,3 +114,26 @@ def test_rank_norm_reference_example():
     # ties share their mean rank; (mean_rank - 1) / N
     np.testing.assert_allclose(rank_norm([1, 1, 2], [1, 3]), [1 / 6, 1 / 6, 2 / 3])
     assert rank_norm([3, 3], [1, 3]) == [0.25, 0.25]
+
+
+def test_read_log_train_ragged_and_junk_rows(tmp_path):
+    """A later epoch logging MORE loss terms must widen the matrices
+    (NaN-padded like read_log_err), and footer/junk rows must be skipped
+    rather than kept as silent all-zero curve points."""
+    p = tmp_path / "log_train"
+    with open(p, "w") as f:
+        f.write("Epoch | Duration | Train | Val | Best\n")
+        f.write("1 | 11.0 | 1.0 | 2.0 | yes\n")
+        f.write("2 | 12.0 | 1.0/2.0/3.0 | 2.0/2.5 | no\n")   # wider row
+        f.write("total | ----- | ----- | --- | ----\n")       # footer junk
+    trn, val, secs = logs.read_log_train(str(p))
+    np.testing.assert_allclose(secs, [11.0, 12.0])
+    assert trn.shape == (2, 3) and val.shape == (2, 2)
+    np.testing.assert_allclose(trn[0], [1.0, np.nan, np.nan])
+    np.testing.assert_allclose(trn[1], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(val[0], [2.0, np.nan])
+    # nothing parseable at all -> empty, not a crash
+    q = tmp_path / "empty_log"
+    q.write_text("Epoch | Duration | Train | Val\n--- | --- | --- | ---\n")
+    trn, val, secs = logs.read_log_train(str(q))
+    assert trn is None and val is None and secs.size == 0

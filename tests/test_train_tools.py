@@ -216,3 +216,61 @@ def test_multihost_loader_shards_have_equal_step_counts():
         for k in range(8)
     ])
     assert len(set(all_idx.tolist())) == len(all_idx)
+
+
+def test_checkpoint_meta_embedded_beats_stale_sidecar(tmp_path):
+    """The epoch/best metadata commits atomically WITH the arrays (inside
+    the npz); a stale .json sidecar left by a crash between the two writes
+    must not win."""
+    import json
+
+    path = str(tmp_path / "c.ckpt")
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    ckpt.save(path, tree, extra={"epoch": 7, "best": 88.0})
+    # simulate the crash window: sidecar still says an older epoch
+    with open(path + ".json", "w") as f:
+        json.dump({"keys": ["w"], "extra": {"epoch": 3, "best": 12.0}}, f)
+    loaded, extra = ckpt.load(path)
+    np.testing.assert_array_equal(loaded["w"], tree["w"])
+    assert extra == {"epoch": 7, "best": 88.0}  # embedded copy wins
+    # pre-embed checkpoints (no embedded key) still read the sidecar
+    flat = {"w": np.ones(2, np.float32)}
+    np.savez(str(tmp_path / "old.ckpt"), **flat)
+    import os
+    os.rename(str(tmp_path / "old.ckpt") + (".npz" if os.path.exists(
+        str(tmp_path / "old.ckpt") + ".npz") else ""), str(tmp_path / "old.ckpt"))
+    with open(str(tmp_path / "old.ckpt") + ".json", "w") as f:
+        json.dump({"keys": ["w"], "extra": {"epoch": 1}}, f)
+    _, extra_old = ckpt.load(str(tmp_path / "old.ckpt"))
+    assert extra_old == {"epoch": 1}
+
+
+def test_al_entropy_handles_saturated_log_probs():
+    from scl_deepfake_audio_detection_tpu.train.active_learning import (
+        criterion_entropy,
+    )
+
+    lp = np.log(np.array([
+        [0.5, 0.5, 0.0],   # genuinely uncertain but one class saturated
+        [1.0, 0.0, 0.0],   # fully confident
+        [1/3, 1/3, 1/3],   # maximally uncertain
+    ]))
+    scores = criterion_entropy(lp, None)
+    assert np.all(np.isfinite(scores))
+    assert scores[2] > scores[0] > scores[1]
+
+
+def test_al_state_save_is_atomic_replace(tmp_path):
+    from scl_deepfake_audio_detection_tpu.train.active_learning import ALState
+
+    path = str(tmp_path / "al.json")
+    st = ALState([1, 2], [3, 4], [[1], [2]])
+    st.save(path)
+    st2 = ALState.load(path)
+    assert (st2.train_idx, st2.pool_idx, st2.history) == ([1, 2], [3, 4], [[1], [2]])
+    # overwrite goes through the same replace path
+    ALState([9], [8], []).save(path)
+    assert ALState.load(path).train_idx == [9]
+    # no stray tmp files left behind
+    import os
+    assert os.listdir(tmp_path) == ["al.json"]
