@@ -33,6 +33,9 @@ from scl_deepfake_audio_detection_tpu.utils.registry import AUGMENTATIONS
 
 _AUDIO_EXTS = (".wav", ".mp3", ".flac")
 
+#: (method, basename) -> first requesting source path, for collision checks
+_CACHE_SOURCES: dict = {}
+
 
 def list_audio_files(path: str) -> List[str]:
     """Recursive audio listing (reference ``audio_augmentor/utils.py:10-18``)."""
@@ -75,24 +78,45 @@ class AugmentResources:
         return self._rir_files
 
 
-def _cached(method: str):
-    """Wrap a compute fn with the reference's offline cache protocol."""
+def _cached(method: str, int16_scale: bool = False):
+    """Wrap a compute fn with the reference's offline cache protocol.
+
+    ``int16_scale`` declares the compute fn's output amplitude explicitly
+    (the pydub-family methods return int16-scale floats, RawBoost/codec
+    [-1,1]); an amplitude heuristic would misclassify quiet int16-scale
+    outputs and write clipped garbage into the cache.
+
+    Offline semantics match the reference wrappers exactly
+    (``asvspoof_2019_augall_3.py:284-291``): the cache file is (re)READ on
+    BOTH hit and miss, so every epoch — including the one that populates the
+    cache — sees identical [-1,1] PCM16-round-tripped audio."""
 
     def deco(fn: Callable) -> Callable:
         def wrapper(wav, rng, res: AugmentResources, utt_id: Optional[str] = None):
             if res.online or not res.aug_dir or not utt_id:
                 return fn(wav, rng, res)
-            cache = os.path.join(res.aug_dir, method, os.path.basename(utt_id))
-            if os.path.exists(cache):
-                return load_audio(cache, res.sample_rate)
-            out = fn(wav, rng, res)
-            # cache as PCM16 like the reference (sf.write subtype='PCM_16');
-            # int16-scale outputs are rescaled to [-1,1] for storage
-            store = out / 32768.0 if np.max(np.abs(out)) > 8.0 else out
-            save_wav(cache, store, res.sample_rate)
-            return out
+            base = os.path.basename(utt_id)
+            # the reference layout keys by basename only; two different
+            # source files sharing a basename (e.g. spoof_train/X.wav and
+            # spoof_dev/X.wav) would silently read each other's cached
+            # audio — detect within-run and fail loudly instead
+            prev = _CACHE_SOURCES.setdefault((method, base), str(utt_id))
+            if prev != str(utt_id):
+                raise ValueError(
+                    f"offline aug cache collision: {method}/{base} requested "
+                    f"for both {prev!r} and {utt_id!r}; use distinct file "
+                    "names or separate aug_dir trees"
+                )
+            cache = os.path.join(res.aug_dir, method, base)
+            if not os.path.exists(cache):
+                out = fn(wav, rng, res)
+                # cache as PCM16 like the reference (sf.write PCM_16)
+                save_wav(cache, out / 32768.0 if int16_scale else out,
+                         res.sample_rate)
+            return load_audio(cache, res.sample_rate)
 
         wrapper.__name__ = method
+        wrapper.cache_method = method  # cache-backed marker (cache_warmup)
         return wrapper
 
     return deco
@@ -123,7 +147,7 @@ for _name, _algo in [
 
 
 @AUGMENTATIONS.register("background_noise_wrapper", aliases=("background_noise",))
-@_cached("background_noise")
+@_cached("background_noise", int16_scale=True)
 def background_noise_wrapper(wav, rng, res):
     noise_file = res.noise_files[int(rng.integers(len(res.noise_files)))]
     noise = load_audio(noise_file, res.sample_rate)
@@ -131,7 +155,7 @@ def background_noise_wrapper(wav, rng, res):
 
 
 @AUGMENTATIONS.register("reverb_wrapper", aliases=("reverb",))
-@_cached("reverb")
+@_cached("reverb", int16_scale=True)
 def reverb_wrapper(wav, rng, res):
     rir_file = res.rir_files[int(rng.integers(len(res.rir_files)))]
     rir = load_audio(rir_file, res.sample_rate)
@@ -139,25 +163,25 @@ def reverb_wrapper(wav, rng, res):
 
 
 @AUGMENTATIONS.register("pitch_wrapper", aliases=("pitch",))
-@_cached("pitch")
+@_cached("pitch", int16_scale=True)
 def pitch_wrapper(wav, rng, res):
     return A.pitch_shift(wav, rng, sr=res.sample_rate)
 
 
 @AUGMENTATIONS.register("speed_wrapper", aliases=("speed",))
-@_cached("speed")
+@_cached("speed", int16_scale=True)
 def speed_wrapper(wav, rng, res):
     return A.speed(wav, rng)
 
 
 @AUGMENTATIONS.register("volume_wrapper", aliases=("volume",))
-@_cached("volume")
+@_cached("volume", int16_scale=True)
 def volume_wrapper(wav, rng, res):
     return A.volume(wav, rng)
 
 
 @AUGMENTATIONS.register("gaussian_wrapper", aliases=("gaussian",))
-@_cached("gaussian")
+@_cached("gaussian", int16_scale=True)
 def gaussian_wrapper(wav, rng, res):
     return A.gaussian_noise(wav, rng)
 

@@ -63,7 +63,13 @@ class WarmupStats:
 def enumerate_cache_jobs(builder: SCLViewBatchBuilder) -> List[Tuple[str, str]]:
     """All (audio_path, method) pairs the builder's variant can ever request."""
     spec = builder.spec
-    methods = list(spec.augmentation_methods)
+    # only cache-backed methods warm up: time_mask/freq_mask-style wrappers
+    # have no offline cache, so a job for them recomputes every run, writes
+    # nothing, and would be misreported as 'written'
+    methods = [
+        m for m in spec.augmentation_methods
+        if getattr(AUGMENTATIONS.get(m), "cache_method", None) is not None
+    ]
     jobs: List[Tuple[str, str]] = []
 
     for u in builder.files:  # anchors + additional reals draw from the same list

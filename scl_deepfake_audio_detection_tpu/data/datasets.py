@@ -80,6 +80,11 @@ def _sample_distinct(
     anchor excluded.  Only when the pool is smaller than k (tiny dev/test
     lists the reference would crash on) do we fall back to with-replacement,
     so the view count V stays static for the compiled train step."""
+    if n <= 0:
+        raise ValueError(
+            "cannot sample from an empty pool — no files found for this "
+            "role (e.g. num_additional_spoof > 0 with an empty spoof dir)"
+        )
     pool = np.arange(n)
     if exclude is not None:
         pool = pool[pool != exclude]
@@ -258,18 +263,24 @@ class SCLViewBatchBuilder:
         utt = self.files[idx]
         anchor = self._load(os.path.join(self.bonafide_dir, utt))
         # distinct picks, anchor excluded (asvspoof_2019_augall_3.py:127-130)
+        # load exactly what THIS variant's recipe consumes (same gating as
+        # build()): loading extra roles is not just waste — compose_views
+        # concatenates whatever arrives, so e.g. spoofs decoded for an
+        # augall_3 run would silently train augall_5 semantics
+        uses_reals = spec.variant != "xinwang"
+        uses_spoofs = spec.variant in ("augall_5", "scl_normal")
         reals = [
             self._load(os.path.join(self.bonafide_dir, self.files[i]))
             for i in _sample_distinct(
                 rng, len(self.files), spec.num_additional_real, exclude=idx
             )
-        ] if spec.num_additional_real else []
+        ] if (uses_reals and spec.num_additional_real) else []
         voc = [
             self._load(os.path.join(self.vocoded_dir, f"{v}_{utt}"))
             for v in spec.vocoders
         ] if spec.variant != "scl_normal" else []
         spoofs = []
-        if spec.num_additional_spoof and self.spoof_list:
+        if uses_spoofs and spec.num_additional_spoof:
             picks = _sample_distinct(
                 rng, len(self.spoof_list), spec.num_additional_spoof
             )

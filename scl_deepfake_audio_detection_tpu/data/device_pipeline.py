@@ -101,17 +101,27 @@ def fft_reverb(wav: jnp.ndarray, rir: jnp.ndarray) -> jnp.ndarray:
     n = t + rir.shape[-1]  # minimal linear-conv length (see fft_fir_centered)
     y = jnp.fft.irfft(
         jnp.fft.rfft(wav, n, axis=-1) * jnp.fft.rfft(rir, n, axis=-1), n, axis=-1
-    )[..., :t]
-    peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-12
-    return y / peak
+    )
+    # normalize by the FULL convolution's peak BEFORE truncating — the host
+    # path (dsp/augment.reverb:70-73, reference reverb.py:33-46) normalizes
+    # over the untruncated result, so a peak in the reverb tail beyond T
+    # must still set the scale or this view comes out louder than the
+    # host/reference distribution
+    peak = jnp.max(jnp.abs(y[..., : t + rir.shape[-1] - 1]),
+                   axis=-1, keepdims=True) + 1e-12
+    return y[..., :t] / peak
 
 
 def _random_bank_rows(key, bank: jnp.ndarray, rows: int, length: int):
     """Pick ``rows`` random crops [rows, length] from bank [N, T_bank]."""
     k1, k2 = jax.random.split(key)
     idx = jax.random.randint(k1, (rows,), 0, bank.shape[0])
-    max_start = max(bank.shape[1] - length, 1)
-    starts = jax.random.randint(k2, (rows,), 0, max_start)
+    # randint's high bound is exclusive: +1 keeps the LAST valid crop start
+    # reachable (bank_len == length then correctly yields only start 0);
+    # outer max() guards a bank narrower than the crop (dynamic_slice clamps)
+    starts = jax.random.randint(
+        k2, (rows,), 0, max(bank.shape[1] - length + 1, 1)
+    )
     sel = bank[idx]  # [rows, T_bank]
     return jax.vmap(
         lambda row, s: jax.lax.dynamic_slice_in_dim(row, s, length)

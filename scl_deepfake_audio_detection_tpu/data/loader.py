@@ -22,6 +22,23 @@ from scl_deepfake_audio_detection_tpu.data.datasets import (
 )
 
 
+def _put_or_stop(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Blocking put that aborts when ``stop`` is set; True iff enqueued.
+
+    A plain ``q.put`` parks the producer forever on a full prefetch queue
+    when the consumer exits early (steps-capped epoch, exception in the
+    train step) — ``stop`` is only observable between puts, so the thread,
+    its executor workers, and prefetch+1 full batches would leak."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+
 class TrainLoader:
     """Yields {'wav': [G, V, T], 'labels': [G, V], 'utts': list} per step."""
 
@@ -94,10 +111,15 @@ class TrainLoader:
                         utts = [u for u, _, _ in items]
                         wav = np.stack([w for _, w, _ in items])
                         labels = np.stack([l for _, _, l in items])
-                        out_q.put({"wav": wav, "labels": labels, "utts": utts})
-                out_q.put(None)
+                        if not _put_or_stop(
+                            out_q,
+                            {"wav": wav, "labels": labels, "utts": utts},
+                            stop,
+                        ):
+                            return
+                _put_or_stop(out_q, None, stop)
             except BaseException as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                _put_or_stop(out_q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -158,16 +180,18 @@ class DeviceAugTrainLoader(TrainLoader):
                         items = list(pool.map(
                             lambda i: self.builder.build_raw(int(i), epoch), step_idx
                         ))
-                        out_q.put({
+                        batch = {
                             "utts": [d["utt"] for d in items],
                             "anchors": self._wire(np.stack([d["anchor"] for d in items])),
                             "reals": self._wire(np.stack([d["reals"] for d in items])),
                             "vocoded": self._wire(np.stack([d["vocoded"] for d in items])),
                             "spoofs": self._wire(np.stack([d["spoofs"] for d in items])),
-                        })
-                out_q.put(None)
+                        }
+                        if not _put_or_stop(out_q, batch, stop):
+                            return
+                _put_or_stop(out_q, None, stop)
             except BaseException as e:
-                out_q.put(e)
+                _put_or_stop(out_q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -242,10 +266,11 @@ class EvalLoader:
                             )
 
                             wav = pcm16_encode(wav)
-                        out_q.put((wav, utts))
-                out_q.put(None)
+                        if not _put_or_stop(out_q, (wav, utts), stop):
+                            return
+                _put_or_stop(out_q, None, stop)
             except BaseException as e:
-                out_q.put(e)
+                _put_or_stop(out_q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

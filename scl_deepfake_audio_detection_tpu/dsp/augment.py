@@ -170,7 +170,11 @@ def pitch_shift(
     if steps == 0:
         return _to_int16(x).astype(np.float32)
     rate = 2.0 ** (-steps / 12.0)
-    stretched = time_stretch(x, 1.0 / rate)
+    # librosa recipe: stretch AT rate (length len/rate), then resample
+    # sr/rate -> sr (length * rate) — duration-preserving; stretching at
+    # 1/rate would square the tempo change and pad/crop ~|rate^2 - 1| of
+    # the utterance
+    stretched = time_stretch(x, rate)
     from scl_deepfake_audio_detection_tpu.utils.audio_io import resample
 
     shifted = resample(stretched, int(round(sr / rate)), sr)

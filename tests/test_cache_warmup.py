@@ -133,3 +133,23 @@ def test_bad_file_counts_as_failed(db, tmp_path):
     stats = warm_aug_cache(b, num_workers=2)
     assert stats.failed == len(METHODS) + len(VOCODERS) * 1  # bona + vocoded jobs
     assert stats.written == stats.total - stats.failed
+
+
+def test_enumerate_jobs_skips_uncached_methods(db, tmp_path):
+    """time_mask/freq_mask have no offline cache: warming them would redo
+    the DSP every run and misreport 'written' entries."""
+    root, utts = db
+    spec = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS,
+        augmentation_methods=["RawBoost12", "time_mask", "freq_mask"],
+        num_additional_real=1, trim_length=8000,
+    )
+    res = AugmentResources(
+        noise_path=str(root / "musan"), rir_path=str(root / "rirs"),
+        aug_dir=str(tmp_path / "aug"), online=False,
+    )
+    b = SCLViewBatchBuilder(spec, str(root), utts, res, seed=7)
+    jobs = enumerate_cache_jobs(b)
+    assert all(m == "RawBoost12" for _, m in jobs)
+    # 4 bonafide + 4x2 vocoded (first method only)
+    assert len(jobs) == 4 + 4 * 2

@@ -249,3 +249,106 @@ def test_additional_reals_distinct_and_exclude_anchor(db):
     # degenerate 1-file list: anchor reused rather than crashing
     picks = _sample_distinct(rng, 1, 2, exclude=0)
     assert picks.tolist() == [0, 0]
+
+
+def test_offline_cache_miss_and_hit_return_identical_audio(db, tmp_path):
+    """Reference offline semantics: the populating epoch re-reads the cache
+    file it just wrote, so miss and hit return BIT-identical [-1,1] floats
+    (an int16-scale miss return would be ~90 dB louder than later epochs)."""
+    from scl_deepfake_audio_detection_tpu.utils.registry import AUGMENTATIONS
+
+    root, utts = db
+    res = AugmentResources(
+        noise_path=str(root / "musan"), rir_path=str(root / "rirs"),
+        aug_dir=str(tmp_path / "aug"), online=False,
+    )
+    wav = load_audio(str(root / "bonafide" / utts[0]), SR)
+    for method in ("background_noise_wrapper", "reverb_wrapper", "RawBoost12"):
+        fn = AUGMENTATIONS.get(method)
+        miss = fn(wav, np.random.default_rng(0), res, utt_id=utts[0])
+        hit = fn(wav, np.random.default_rng(1), res, utt_id=utts[0])
+        np.testing.assert_array_equal(miss, hit)
+        assert np.max(np.abs(miss)) <= 1.0, method  # stored scale, not int16
+
+
+def test_offline_cache_quiet_int16_output_not_clipped(db, tmp_path):
+    """A very quiet augmented view (int16-scale peak < 8) must round-trip
+    through the cache as quiet audio — the old amplitude heuristic wrote it
+    unscaled and every sample saturated on the PCM16 write."""
+    from scl_deepfake_audio_detection_tpu.utils.registry import AUGMENTATIONS
+
+    root, utts = db
+    res = AugmentResources(
+        noise_path=str(root / "musan"), rir_path=str(root / "rirs"),
+        aug_dir=str(tmp_path / "aug"), online=False,
+    )
+    quiet = np.full(8000, 1e-4, np.float32)  # int16 peak ~3.3 after volume
+    fn = AUGMENTATIONS.get("volume_wrapper")
+    out = fn(quiet, np.random.default_rng(0), res, utt_id="quiet.wav")
+    assert np.max(np.abs(out)) < 0.01  # still quiet, not full-scale garbage
+
+
+def test_offline_cache_basename_collision_raises(db, tmp_path):
+    from scl_deepfake_audio_detection_tpu.utils.registry import AUGMENTATIONS
+
+    root, utts = db
+    res = AugmentResources(
+        aug_dir=str(tmp_path / "aug"), online=False,
+    )
+    wav = np.zeros(4000, np.float32)
+    fn = AUGMENTATIONS.get("RawBoost12")
+    fn(wav, np.random.default_rng(0), res, utt_id="dirA/X.wav")
+    with pytest.raises(ValueError, match="collision"):
+        fn(wav, np.random.default_rng(0), res, utt_id="dirB/X.wav")
+
+
+def test_build_raw_roles_match_variant(db):
+    """build_raw must decode exactly the roles the variant's recipe uses:
+    a spoof/ dir on disk must NOT leak spoof views into an augall_3 run
+    (compose_views concatenates whatever arrives)."""
+    spec3 = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, num_additional_spoof=2, trim_length=8000,
+    )
+    root, utts = db
+    b3 = SCLViewBatchBuilder(spec3, str(root), utts, _resources(root), seed=3)
+    raw = b3.build_raw(0, epoch=0)
+    assert raw["spoofs"].shape[0] == 0  # augall_3 never uses spoof views
+    assert raw["reals"].shape[0] == 1
+    assert raw["vocoded"].shape[0] == 2
+
+    spec5 = SCLBatchSpec(
+        variant="augall_5", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, num_additional_spoof=2, trim_length=8000,
+    )
+    b5 = SCLViewBatchBuilder(spec5, str(root), utts, _resources(root), seed=3)
+    raw5 = b5.build_raw(0, epoch=0)
+    assert raw5["spoofs"].shape[0] == 2
+
+
+def test_train_loader_early_exit_stops_producer(db):
+    """Breaking out of the epoch iterator must unblock and terminate the
+    producer thread (a plain put() on the full prefetch queue would park it
+    forever, leaking the thread and prefetch+1 full batches)."""
+    import threading
+
+    spec = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, trim_length=8000,
+    )
+    root, utts = db
+    b = SCLViewBatchBuilder(spec, str(root), utts, _resources(root))
+    before = set(threading.enumerate())
+    loader = TrainLoader(b, groups_per_step=1, num_workers=1, seed=5)
+    for batch in loader.epoch(0):
+        break  # early exit with 4 more steps pending
+    leaked = None
+    for _ in range(100):  # producer observes stop within ~100 ms
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        import time
+
+        time.sleep(0.05)
+    assert not leaked, leaked

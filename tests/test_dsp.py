@@ -254,3 +254,22 @@ def test_rand_sil_trim_and_multiview(rng):
     silent = np.zeros(sr, np.float32)
     t3, s3, e3 = rand_sil_trim(silent, sr)
     assert (s3, e3) == (0, sr) or t3.shape[0] == sr
+
+
+@pytest.mark.parametrize("steps", [-1, 1])
+def test_pitch_shift_preserves_duration(tone, steps):
+    """The librosa recipe is duration-preserving; stretching at 1/rate would
+    tempo-distort by rate^2 and pad/crop ~11% of the utterance."""
+
+    class FixedRng:
+        def __init__(self, s):
+            self.s = s
+
+        def integers(self, lo, hi):
+            return self.s
+
+    y = A.pitch_shift(tone, FixedRng(steps), sr=FS)
+    assert len(y) == len(tone)
+    # no trailing-silence pad: the last 10% must carry real signal
+    tail = y[-len(y) // 10 :] / (1 << 15)
+    assert np.sqrt(np.mean(tail**2)) > 0.05 * np.sqrt(np.mean((y / (1 << 15)) ** 2))
