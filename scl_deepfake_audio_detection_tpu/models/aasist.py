@@ -192,10 +192,11 @@ class XLSRAasist:
     def init_buffers(self) -> Params:
         gat0, gat1 = self.gat_dims
         enc_out = self._blocks[-1][1]
-        blocks = [_init_res_block(jax.random.key(0), ci, co) for ci, co in self._blocks]
         buf: Params = {
             "first_bn": init_bn_buffers(1),
-            "encoder": [b for _, b in blocks],
+            # buffer structure only (see _init_res_block's b) — generating
+            # and discarding the conv weights here would waste init time
+            "encoder": [{"bn2": init_bn_buffers(co)} for _ci, co in self._blocks],
             "first_bn1": init_bn_buffers(enc_out),
             "att_bn": init_bn_buffers(128),
             "gat_S": {"bn": init_bn_buffers(gat0)},

@@ -53,6 +53,19 @@ from scl_deepfake_audio_detection_tpu.ops.supcon import seq_similarity, supcon_l
 from scl_deepfake_audio_detection_tpu.utils.registry import MODELS
 
 
+def _last_valid_step(x: jnp.ndarray, bio_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """x [N, T, D] -> the LAST VALID timestep per sequence.
+
+    The reference reads ``[:, -1]`` on fixed-length bio sequences; with the
+    variable-length ``bio_mask`` extension the last position may be padding
+    (masked scores there are exactly zero), so gather at lengths-1 instead."""
+    if bio_mask is None:
+        return x[:, -1, :]
+    lengths = jnp.sum(bio_mask.astype(jnp.int32), axis=-1)
+    idx = jnp.maximum(lengths - 1, 0)
+    return jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+
+
 @MODELS.register("xlsr_btse", aliases=("wav2vec2_btse",))
 @dataclass(frozen=True)
 class XLSRBtse:
@@ -195,7 +208,7 @@ class XLSRBtse:
             scores = linear(params["bio_scoring"], x)  # [N, T_bio, bio_out]
             if bio_mask is not None:
                 scores = scores * bio_mask.astype(scores.dtype)[..., None]
-            return scores[:, -1, :]
+            return _last_valid_step(scores, bio_mask)
         if kind == "gru":
             from scl_deepfake_audio_detection_tpu.ops.rnn import gru
 
@@ -217,12 +230,13 @@ class XLSRBtse:
                 a, g = jnp.split(y, 2, axis=-1)
                 h = (a * jax.nn.sigmoid(g) + h) * scale
             x = (linear(enc["hid2emb"], h) + x) * scale
-            return linear(params["bio_scoring"], x[:, -1, :])
+            return linear(params["bio_scoring"],
+                          _last_valid_step(x, bio_mask))
         if kind == "light":
             enc = params["bio_encoder"]
             x = embedding(params["bio_emb"], bio)
             x = linear(enc["conv2"], linear(enc["conv1"], x))
-            return linear(params["bio_scoring"], x)[:, -1, :]
+            return _last_valid_step(linear(params["bio_scoring"], x), bio_mask)
         raise ValueError(f"unknown bio_encoder_type: {kind!r}")
 
     # --------------------------------------------------------------- forward
@@ -239,6 +253,9 @@ class XLSRBtse:
     ):
         rs = iter(jax.random.split(rng, 3 + self.mlp_layers)) if rng is not None \
             else iter([None] * (3 + self.mlp_layers))
+
+        if wav.ndim == 3:  # accept [B, T, 1] like extract_features' fixup —
+            wav = wav[:, :, 0]  # wav2bio would frame over the size-1 axis
 
         if bio is None:
             bio = wav2bio(wav)  # on-device segmentation, fused under jit

@@ -95,12 +95,18 @@ def init_conformer_block(key, cfg: ConformerConfig) -> Tuple[Params, Params]:
     return p, {"conv": {"bn": init_bn_buffers(conv_inner)}}
 
 
+def _split_site(rng, i):
+    """Independent key per dropout site (reusing one key would correlate
+    the masks; same hazard documented at flows.conv_relu_norm)."""
+    return None if rng is None else jax.random.fold_in(rng, i)
+
+
 def _ff(p, x, mult_drop, rng, train):
     y = layer_norm(p["ln"], x)
     y = swish(linear(p["fc1"], y))
-    y = dropout(rng, y, mult_drop, deterministic=not train)
+    y = dropout(_split_site(rng, 0), y, mult_drop, deterministic=not train)
     y = linear(p["fc2"], y)
-    return dropout(rng, y, mult_drop, deterministic=not train)
+    return dropout(_split_site(rng, 1), y, mult_drop, deterministic=not train)
 
 
 def _rel_pos_bias(p, q, cfg: ConformerConfig):
@@ -129,11 +135,13 @@ def _attention(p, x, cfg: ConformerConfig, rng, train):
     dots = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
     dots = (dots + _rel_pos_bias(p, q, cfg)) * scale
     attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1)
-    attn = dropout(rng, attn, cfg.attn_dropout, deterministic=not train)
+    attn = dropout(_split_site(rng, 0), attn, cfg.attn_dropout,
+                   deterministic=not train)
     out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
     out = linear(p["o"], out)
-    return dropout(rng, out, cfg.attn_dropout, deterministic=not train)
+    return dropout(_split_site(rng, 1), out, cfg.attn_dropout,
+                   deterministic=not train)
 
 
 def _conv_module(p, buf, x, cfg: ConformerConfig, rng, train):

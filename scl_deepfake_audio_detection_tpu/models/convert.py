@@ -221,8 +221,9 @@ def infer_config_from_fairseq_sd(sd: StateDict, like: XLSRConfig = None) -> XLSR
     """Introspect architecture dims from a fairseq wav2vec2 state dict.
 
     Conv strides and head counts are not recoverable from weight shapes, so
-    they come from ``like`` (default: the XLS-R family values, scaled for
-    head count by keeping head_dim=64).
+    they come from ``like`` (default: the XLS-R family values; every
+    published XLS-R width maps to 16 heads, with head_dim=64 only as a
+    last-resort guess for unknown widths).
     """
     import re as _re
 
@@ -252,7 +253,13 @@ def infer_config_from_fairseq_sd(sd: StateDict, like: XLSRConfig = None) -> XLSR
               "encoder.pos_conv.0.parametrizations.weight.original1"):
         if k in sd:
             pos_w = _np(sd[k])
-    heads = base.num_heads if d == base.encoder_dim else max(d // 64, 1)
+    # fairseq state dicts carry no head count; all published XLS-R sizes use
+    # 16 heads (300M d=1024 hd=64, 1B d=1280 hd=80, 2B d=1920 hd=120 — the
+    # xlsr_1b/2b presets), so a d//64 guess would split q/k/v across wrong
+    # head boundaries for 1B/2B and silently corrupt every converted score
+    _xlsr_heads = {1024: 16, 1280: 16, 1920: 16}
+    heads = (base.num_heads if d == base.encoder_dim
+             else _xlsr_heads.get(d, max(d // 64, 1)))
     return XLSRConfig(
         conv_layers=tuple(conv_layers),
         conv_bias="feature_extractor.conv_layers.0.0.bias" in sd,

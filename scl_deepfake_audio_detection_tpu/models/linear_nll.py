@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 from scl_deepfake_audio_detection_tpu.models import xlsr as X
 from scl_deepfake_audio_detection_tpu.models.base import ModelOutput, Params
-from scl_deepfake_audio_detection_tpu.ops.layers import dropout, init_linear, linear
+from scl_deepfake_audio_detection_tpu.ops.layers import (
+    dropout,
+    init_linear,
+    leaky_relu,
+    linear,
+)
 from scl_deepfake_audio_detection_tpu.ops.losses import nll_on_log_probs
 from scl_deepfake_audio_detection_tpu.ops.supcon import seq_similarity, supcon_loss
 from scl_deepfake_audio_detection_tpu.utils.registry import MODELS
@@ -104,7 +109,7 @@ class LinearNLL:
         # frame-level MLP (BackEnd.m_frame_level, reference :49-63)
         for i, lp in enumerate(params["backend"]["frame"]):
             x = linear(lp, x, cdtype)
-            x = jnp.where(x >= 0, x, self.leaky_slope * x)
+            x = leaky_relu(x, self.leaky_slope)
             r = jax.random.fold_in(head_rng, i) if head_rng is not None else None
             x = dropout(r, x, self.dropout, deterministic=not train)
 

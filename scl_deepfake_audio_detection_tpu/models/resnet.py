@@ -136,6 +136,27 @@ def _preact_block(
 # ---------------------------------------------------------------------------
 
 
+def resnet_buffers(resnet_type: str = "18", enc_dim: int = 256) -> Params:
+    """BN running-stat buffers alone, derived from the static block
+    structure — ``init_buffers`` must not pay init_resnet's full random
+    conv-weight generation just to discard the params."""
+    stages, bottleneck = RESNET_CONFIGS[resnet_type]
+    exp = 4 if bottleneck else 1
+    buffers: Params = {"bn1": init_bn_buffers(16)}
+    in_c = 16
+    for si, (planes, blocks) in enumerate(zip(STAGE_WIDTHS, stages)):
+        stage_b: List[Params] = []
+        for _ in range(blocks):
+            b = {"bn1": init_bn_buffers(in_c), "bn2": init_bn_buffers(planes)}
+            if bottleneck:
+                b["bn3"] = init_bn_buffers(planes)
+            stage_b.append(b)
+            in_c = planes * exp
+        buffers[f"layer{si + 1}"] = stage_b
+    buffers["bn5"] = init_bn_buffers(enc_dim)
+    return buffers
+
+
 def init_resnet(key, resnet_type: str = "18", num_nodes: int = 3,
                 enc_dim: int = 256, nclasses: int = 2) -> Tuple[Params, Params]:
     """Backbone params/buffers (reference ResNet.__init__ :132-153)."""
@@ -287,9 +308,8 @@ class XLSRResNet:
         }
 
     def init_buffers(self) -> Params:
-        _, rb = init_resnet(jax.random.key(0), self.resnet_type, self.num_nodes,
-                            self.enc_dim, self.num_classes)
-        return {"first_bn": init_bn_buffers(1), "resnet": rb}
+        return {"first_bn": init_bn_buffers(1),
+                "resnet": resnet_buffers(self.resnet_type, self.enc_dim)}
 
     # --------------------------------------------------------------- forward
     def apply(

@@ -230,7 +230,8 @@ def graph_pool(
     drop: float = 0.3,
 ) -> jnp.ndarray:
     """Score-based top-k node pooling (reference :343-372): sigmoid-scored
-    nodes, keep the ceil(N*k) highest (score-descending order), scale kept
+    nodes, keep the max(floor(N*k), 1) highest (score-descending order,
+    the reference int() floor — see pooled_nodes), scale kept
     nodes by their score.  k is static -> static output shape."""
     z = dropout(rng, h, drop, deterministic=not train)
     scores = jax.nn.sigmoid(

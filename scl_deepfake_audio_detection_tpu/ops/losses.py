@@ -55,9 +55,12 @@ def mixup_ce(
 ) -> jnp.ndarray:
     """Mixup cross-entropy (reference ``loss_metrics.py:216-250``):
     gamma*CE(logits,y1) + (1-gamma)*CE(logits,y2), mean over batch."""
+    if (y2 is None) != (gammas is None):
+        raise ValueError("mixup_ce needs y2 and gammas together (or neither "
+                         "for plain CE)")
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll1 = -jnp.take_along_axis(logp, y1[:, None], axis=1)[:, 0]
-    if y2 is None and gammas is None:
+    if y2 is None:
         return jnp.mean(nll1)
     nll2 = -jnp.take_along_axis(logp, y2[:, None], axis=1)[:, 0]
     return jnp.mean(gammas * nll1 + (1.0 - gammas) * nll2)

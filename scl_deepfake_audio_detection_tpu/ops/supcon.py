@@ -119,5 +119,13 @@ def supcon_loss(
     exp_logits = jnp.exp(shifted * self_mask) * self_mask
     log_prob = shifted - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True))
 
-    mean_log_prob_pos = jnp.sum(pos_mask * log_prob, axis=1) / jnp.sum(pos_mask, axis=1)
+    # an anchor with ZERO positives (only member of its class in the batch)
+    # is 0/0 = NaN in the torch reference and poisons the whole loss; such
+    # rows contribute 0 here instead.  SCL view batches always carry
+    # positives, so this never changes a parity value — it only turns a
+    # silent training collapse on degenerate batches into a well-defined 0.
+    n_pos = jnp.sum(pos_mask, axis=1)
+    mean_log_prob_pos = jnp.where(
+        n_pos > 0, jnp.sum(pos_mask * log_prob, axis=1) / jnp.maximum(n_pos, 1.0), 0.0
+    )
     return -jnp.mean(mean_log_prob_pos.reshape(anchor_count, bs))

@@ -256,3 +256,34 @@ def test_btse_bio_encoder_variants(kind):
     out = model.apply(params, wav, train=False)
     assert out.log_probs.shape == (2, 2)
     assert np.isfinite(np.asarray(out.log_probs)).all()
+
+
+@pytest.mark.parametrize("kind", ["transformer", "conv", "light"])
+def test_btse_bio_mask_reads_last_valid_step(kind):
+    """With a bio_mask whose tail is padding, the conditioning vector must
+    come from the last VALID token, not a zeroed/padding position: padding
+    the bio sequence must not change the model output."""
+    model = XLSRBtse(ssl=TINY, bio_encoder_type=kind)
+    params = model.init(jax.random.key(0))
+    wav = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 3200)).astype(np.float32)
+    )
+    bio = jnp.asarray(np.random.default_rng(4).integers(0, 3, size=(1, 6)))
+    full = model.apply(params, wav, train=False, bio=bio,
+                       bio_mask=jnp.ones((1, 6)))
+    padded_bio = jnp.concatenate([bio, jnp.zeros((1, 3), bio.dtype)], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, 6)), jnp.zeros((1, 3))], axis=1)
+    padded = model.apply(params, wav, train=False, bio=padded_bio,
+                         bio_mask=mask)
+    np.testing.assert_allclose(np.asarray(padded.log_probs),
+                               np.asarray(full.log_probs), atol=2e-5)
+
+
+def test_btse_accepts_3d_wav():
+    model = XLSRBtse(ssl=TINY)
+    params = model.init(jax.random.key(0))
+    wav = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 3200, 1)).astype(np.float32)
+    )
+    out = model.apply(params, wav, train=False)
+    assert out.log_probs.shape == (2, 2)

@@ -153,3 +153,28 @@ def test_fairseq_layout_roundtrip(hf_pair):
         sd["encoder.layers.1.self_attn.q_proj.weight"].T,
         atol=0,
     )
+
+
+def test_infer_config_maps_published_xlsr_widths_to_16_heads():
+    """fairseq state dicts carry no head count; all published XLS-R widths
+    (1024/1280/1920) use 16 heads — a head_dim=64 guess would split q/k/v
+    across wrong head boundaries for the 1B/2B checkpoints."""
+    import numpy as np
+
+    from scl_deepfake_audio_detection_tpu.models.convert import (
+        infer_config_from_fairseq_sd,
+    )
+
+    def fake_sd(d, ffn):
+        return {
+            "encoder.layer_norm.weight": np.zeros(d, np.float32),
+            "encoder.layers.0.fc1.weight": np.zeros((ffn, d), np.float32),
+            "feature_extractor.conv_layers.0.0.weight":
+                np.zeros((512, 1, 10), np.float32),
+        }
+
+    for d, ffn, heads in ((1280, 5120, 16), (1920, 7680, 16)):
+        cfg = infer_config_from_fairseq_sd(fake_sd(d, ffn))
+        assert cfg.encoder_dim == d and cfg.num_heads == heads, cfg
+    # unknown width: last-resort head_dim=64 guess
+    assert infer_config_from_fairseq_sd(fake_sd(256, 1024)).num_heads == 4

@@ -144,3 +144,14 @@ def test_rank_consistency_v3_matches_torch(rng):
     want = torch.stack(vals).mean().item()
     got = float(L.rank_consistency_v3(jnp.asarray(x)))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_mixup_ce_rejects_partial_mixup_args():
+    import pytest as _pytest
+
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)), jnp.float32)
+    y1 = jnp.asarray([0, 1, 0, 1])
+    with _pytest.raises(ValueError, match="together"):
+        L.mixup_ce(logits, y1, y2=y1)
+    with _pytest.raises(ValueError, match="together"):
+        L.mixup_ce(logits, y1, gammas=jnp.full((4,), 0.5))

@@ -121,3 +121,15 @@ def test_flat_similarity(rng):
     a = rng.normal(size=(3, 4)).astype(np.float32)
     got = np.asarray(flat_similarity(jnp.asarray(a), jnp.asarray(a)))
     np.testing.assert_allclose(got, a @ a.T, rtol=1e-5, atol=1e-6)
+
+
+def test_supcon_zero_positive_anchor_is_finite():
+    """An anchor that is the only member of its class has no positives;
+    the torch reference yields 0/0 = NaN there — this implementation must
+    return a finite loss (the degenerate row contributes 0)."""
+    feats = jnp.asarray(  # [bs, views, T, D] for the default bmm seq metric
+        np.random.default_rng(0).normal(size=(3, 1, 5, 8)), jnp.float32
+    )
+    labels = jnp.asarray([0.0, 0.0, 1.0])  # label-1 sample has no positive
+    loss = supcon_loss(feats, labels=labels)
+    assert np.isfinite(float(loss))
