@@ -64,7 +64,13 @@ long scl_wav_read_f32(const char* path, float* out, long max_frames, int* sr) {
       std::fseek(f, sz + (sz & 1), SEEK_CUR);
     }
   }
-  if (data_len < 0 || channels <= 0 || rate <= 0) { std::fclose(f); return -1; }
+  // bits < 8 (0 from a corrupt header, or 4-bit ADPCM) would make
+  // bytes_per 0 and the frames division a SIGFPE that kills the whole
+  // process; return -1 so the python loader falls through to libav
+  if (data_len < 0 || channels <= 0 || rate <= 0 || bits < 8) {
+    std::fclose(f);
+    return -1;
+  }
   if (sr) *sr = rate;
   long bytes_per = (bits / 8) * channels;
   long frames = data_len / bytes_per;
@@ -203,17 +209,26 @@ void scl_ssi_mix(const float* x, const float* noise, long n, double snr_db,
 void scl_multiview_pad(const float** views, const long* lens, int n_views,
                        long base_len, long length, int repeat_pad, long start,
                        float* out /* [n_views * length] */) {
+  // Two-stage semantics, exactly like dsp/pad.multiview_pad: (1) each view
+  // is length-matched to base_len (truncate, or tile/zero-pad), (2) when
+  // base_len < start+length the base-matched view is itself tiled/zero-
+  // padded.  Tiling directly mod the raw view length would disagree with
+  // the python twin whenever the window crosses base_len.
   for (int v = 0; v < n_views; ++v) {
     const float* src = views[v];
     const long sl = lens[v];
     float* dst = out + (long)v * length;
     for (long i = 0; i < length; ++i) {
-      long pos = start + i;               // index into the base_len-matched view
+      long pos = start + i;
       float val = 0.0f;
-      if (pos < sl) {
-        val = src[pos];
-      } else if (repeat_pad && sl > 0) {
-        val = src[pos % sl];
+      long j = pos;
+      if (j >= base_len) {  // stage 2: beyond the base-matched view
+        if (repeat_pad && base_len > 0) j = pos % base_len;
+        else j = -1;  // zero-pad
+      }
+      if (j >= 0) {  // stage 1: the view matched to base_len
+        if (j < sl) val = src[j];
+        else if (repeat_pad && sl > 0) val = src[j % sl];
       }
       dst[i] = val;
     }

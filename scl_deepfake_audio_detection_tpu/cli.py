@@ -381,7 +381,11 @@ def main(argv=None) -> int:
     engine = Engine(model, train_cfg, mesh=mesh)
     rng_key = jax.random.key(args.seed)
 
-    params = _init_params(args, model, rng_key)
+    # --model_path replaces every parameter wholesale, so skip the random
+    # init there — jit(model.init) of the 300M preset is a full compile +
+    # device init (minutes over a remote-tunneled chip) paid on every
+    # checkpoint eval/serve/parity run otherwise
+    params = None if args.model_path else _init_params(args, model, rng_key)
     buffers = None
     resume_opt = resume_epoch = None
     if args.model_path:
@@ -558,6 +562,9 @@ def main(argv=None) -> int:
     if spec is None:
         print("config's dataset is eval-only; pass --eval", file=sys.stderr)
         return 2
+    # the CLI flag overrides the dataset descriptor's repeat_pad — REFERENCE
+    # behavior (main.py:375 passes padding_type into every Dataset_for, so
+    # e.g. xinwang's library default only applies to direct library use)
     spec.repeat_pad = args.padding_type == "repeat"
     res = resources_from_config(cfg.data.kwargs, cfg.rawboost)
 

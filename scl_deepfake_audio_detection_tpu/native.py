@@ -52,7 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # a packaged install may ship the .so without the source: missing
+        # source means "can't check staleness / can't rebuild", never a raise
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
             if not _build():
                 return None
         try:
@@ -116,9 +121,10 @@ def _load_codec() -> Optional[ctypes.CDLL]:
         if _codec_lib is not None or _codec_tried:
             return _codec_lib
         _codec_tried = True
-        if not os.path.exists(_SO_CODEC) or os.path.getmtime(
-            _SO_CODEC
-        ) < os.path.getmtime(_SRC_CODEC):
+        if not os.path.exists(_SO_CODEC) or (
+            os.path.exists(_SRC_CODEC)
+            and os.path.getmtime(_SO_CODEC) < os.path.getmtime(_SRC_CODEC)
+        ):
             if not _build_codec():
                 return None
         try:

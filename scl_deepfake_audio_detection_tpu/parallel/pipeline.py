@@ -74,7 +74,19 @@ def pipeline_apply(
     """
     num_stages = mesh.shape[axis]
     if num_stages == 1:  # degenerate: plain scan
-        return jax.lax.scan(lambda c, l: (layer_fn(c, l), None), x, stacked)[0]
+        # match the pipelined path's dtype handling: a dtype-changing
+        # layer_fn (fp32 wav into a bf16 stream) must not trip lax.scan's
+        # carry-type check only when the pipe axis happens to be 1
+        probe = jax.eval_shape(
+            layer_fn,
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), stacked
+            ),
+        )
+        return jax.lax.scan(
+            lambda c, l: (layer_fn(c, l), None), x.astype(probe.dtype), stacked
+        )[0]
     m = microbatches or num_stages
     b = x.shape[0]
     if b % m:

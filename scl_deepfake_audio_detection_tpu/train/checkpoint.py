@@ -239,6 +239,18 @@ def load_train_state(path: str, opt_state_template):
         leaves = [leaves_dict[str(i)] for i in range(len(leaves_dict))]
     treedef = jax.tree.structure(opt_state_template)
     opt_state = jax.tree.unflatten(treedef, leaves)
+
+    # re-establish the template's device placement: the unflattened leaves
+    # are raw host numpy, so a ZeRO-1-sharded template (Engine.init_state)
+    # would silently resume with replicated AdamW moments — 2x params per
+    # chip instead of 2x/N — and on a multi-process mesh the first step
+    # would reject the host-local arrays outright
+    def _placed_like(tmpl, loaded):
+        if isinstance(tmpl, jax.Array) and hasattr(tmpl, "sharding"):
+            return jax.device_put(loaded, tmpl.sharding)
+        return loaded
+
+    opt_state = jax.tree.map(_placed_like, opt_state_template, opt_state)
     rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
     return (
         tree["params"],

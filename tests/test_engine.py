@@ -394,3 +394,34 @@ def test_ckpt_every_cadence(tmp_path, engine_state):
     assert last_epochs == [2, 4], saved
     _, extra = ckpt.load(str(tmp_path / "last.ckpt"))
     assert extra["epoch"] == 4
+
+
+def test_resume_restores_zero1_opt_sharding(tmp_path):
+    """load_train_state must re-establish the opt-state template's device
+    placement: raw numpy leaves would resume with REPLICATED AdamW moments
+    (2x params per chip instead of 2x/N) after a --zero1 checkpoint."""
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    cfg = TrainConfig(max_lr=1e-4, zero1=True, zero1_min_size=64)
+    eng = Engine(model, cfg)
+    params, buffers, opt_state = eng.init_state(jax.random.key(0))
+
+    def shardings(tree):
+        return [
+            str(l.sharding)
+            for l in jax.tree.leaves(tree)
+            if isinstance(l, jax.Array)
+        ]
+
+    want = shardings(opt_state)
+    assert any("data" in s for s in want)  # ZeRO-1 actually sharded something
+
+    path = str(tmp_path / "state.ckpt")
+    ckpt.save_train_state(path, params, opt_state, epoch=3,
+                          rng_key=jax.random.key(1), best=50.0,
+                          buffers=buffers)
+    # fresh engine, fresh template (as on a restart)
+    eng2 = Engine(model, cfg)
+    _, _, opt_template = eng2.init_state(jax.random.key(0))
+    _, _, restored, epoch, _, _ = ckpt.load_train_state(path, opt_template)
+    assert epoch == 3
+    assert shardings(restored) == want

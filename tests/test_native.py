@@ -115,3 +115,37 @@ def test_mix_at_snr_power_ratio(rng):
     added = out - x
     snr = 10 * np.log10(np.mean(x**2) / np.mean(added**2))
     assert snr == pytest.approx(10.0, abs=0.3)
+
+
+def test_multiview_pad_window_crossing_base_len(rng):
+    """Window beyond base_len (short anchor, repeat mode): the C kernel must
+    apply the SAME two-stage tiling as dsp/pad.multiview_pad — first each
+    view to base_len, then the base-matched view to the target — not tile
+    directly mod the raw view length."""
+    views = [rng.normal(size=n).astype(np.float32) for n in (5000, 3000)]
+    got = native.multiview_pad(views, length=6400, repeat_pad=True, start=0)
+    matched = [P._match_length(v, 5000, True) for v in views]       # stage 1
+    matched = [P._match_length(v, 6400, True) for v in matched]     # stage 2
+    want = np.stack([v[:6400] for v in matched])
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    # the reviewer's exact counterexample: index 5500 of view 1 is v1[500]
+    assert got[1, 5500] == views[1][500 % 3000]
+    # zero mode: everything past base_len is zero
+    got0 = native.multiview_pad(views, length=6400, repeat_pad=False, start=0)
+    np.testing.assert_allclose(got0[:, 5000:], 0.0)
+
+
+def test_wav_reader_rejects_sub_byte_bits(tmp_path):
+    """A fmt chunk declaring bits-per-sample < 8 must return an error (the
+    loader falls through to libav), never a divide-by-zero process kill."""
+    import struct
+
+    p = tmp_path / "bad.wav"
+    data = b"\x00" * 64
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 4)  # 4-bit!
+    riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p.write_bytes(riff)
+    with pytest.raises(ValueError):
+        native.read_wav(str(p))

@@ -128,3 +128,24 @@ def test_pipeline_dtype_changing_stack(stacked, x):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=1e-2, atol=1e-2,
     )
+
+
+def test_pipeline_dtype_changing_stack_one_stage(stacked, x):
+    """The num_stages==1 degenerate path must handle a dtype-changing
+    layer_fn exactly like the pipelined path (shrinking the pipe axis to 1
+    for debugging must not turn a working program into a scan carry-type
+    crash)."""
+    mesh1 = make_mesh((1,), axis_names=("pipe",), devices=jax.devices()[:1])
+
+    def bf16_layer(c, layer):
+        return _layer_fn(c.astype(jnp.bfloat16), jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), layer)).astype(jnp.bfloat16)
+
+    out1 = pipeline_apply(bf16_layer, stacked, x, mesh1, axis="pipe")
+    assert out1.dtype == jnp.bfloat16
+    mesh4 = make_mesh((4,), axis_names=("pipe",), devices=jax.devices()[:4])
+    out4 = pipeline_apply(bf16_layer, stacked, x, mesh4, axis="pipe")
+    np.testing.assert_allclose(
+        np.asarray(out1, np.float32), np.asarray(out4, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
