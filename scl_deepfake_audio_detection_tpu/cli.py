@@ -164,6 +164,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ASVspoof 2021, constant-C0 normalization)")
     p.add_argument("--per_attack", action="store_true", default=False,
                    help="add per-attack EER breakdown to --analyze")
+    p.add_argument("--bootstrap_ci", type=int, default=0, metavar="N",
+                   help="add a percentile-bootstrap 95%% EER confidence "
+                        "interval over N resamples to --analyze")
+    p.add_argument("--json", action="store_true", default=False,
+                   help="emit the --analyze report as one JSON object "
+                        "instead of text")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
     return p
@@ -250,8 +256,14 @@ def main(argv=None) -> int:
             cleanup_merged = merged.name
         try:
             rep = score_report(score_path, args.protocol, fmt=args.score_format,
-                               subset=args.subset, per_attack=args.per_attack)
-            print(rep)
+                               subset=args.subset, per_attack=args.per_attack,
+                               bootstrap_ci=args.bootstrap_ci)
+            if args.json:
+                import json as _json
+
+                print(_json.dumps(rep.to_dict()))
+            else:
+                print(rep)
             if args.asv_scores:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
                     tdcf_report,

@@ -64,6 +64,25 @@ class EvalReport:
     n_spoof: int
     confusion: Tuple[int, int, int, int]  # tp, tn, fp, fn at the EER threshold
     per_attack: Optional[Dict[str, Tuple[float, int]]] = None  # attack -> (eer, n)
+    eer_ci: Optional[Tuple[float, float]] = None  # bootstrap 95% interval
+
+    def to_dict(self) -> Dict:
+        """JSON-ready form (CLI ``--json``)."""
+        tp, tn, fp, fn = self.confusion
+        d = {
+            "eer": self.eer,
+            "threshold": self.threshold,
+            "n_bonafide": self.n_bonafide,
+            "n_spoof": self.n_spoof,
+            "confusion": {"tp": tp, "tn": tn, "fp": fp, "fn": fn},
+        }
+        if self.eer_ci is not None:
+            d["eer_ci95"] = list(self.eer_ci)
+        if self.per_attack:
+            d["per_attack"] = {
+                a: {"eer": e, "n": n} for a, (e, n) in self.per_attack.items()
+            }
+        return d
 
     def __str__(self) -> str:
         tp, tn, fp, fn = self.confusion
@@ -72,6 +91,9 @@ class EvalReport:
             f"({self.n_bonafide} bonafide / {self.n_spoof} spoof; "
             f"tp={tp} tn={tn} fp={fp} fn={fn})"
         )
+        if self.eer_ci is not None:
+            lo, hi = self.eer_ci
+            s += f"\n95% bootstrap CI: [{lo * 100:.4f}%, {hi * 100:.4f}%]"
         if self.per_attack:
             s += "\nper-attack EER (vs all bonafide):"
             for atk, (eer, n) in sorted(self.per_attack.items()):
@@ -85,6 +107,7 @@ def score_report(
     fmt: str = "auto",
     subset: Optional[str] = None,
     per_attack: bool = False,
+    bootstrap_ci: int = 0,
 ) -> EvalReport:
     """Join a score file with a protocol and compute EER.
 
@@ -109,6 +132,13 @@ def score_report(
             a_eer, _ = compute_eer(tar_a, np.asarray(ss))
             attack_report[atk] = (float(a_eer), len(ss))
 
+    ci = None
+    if bootstrap_ci:
+        from scl_deepfake_audio_detection_tpu.train.metrics import (
+            eer_bootstrap_ci,
+        )
+
+        ci = eer_bootstrap_ci(tar_a, non_a, n_boot=bootstrap_ci)
     return EvalReport(
         eer=eer,
         threshold=thr,
@@ -116,6 +146,7 @@ def score_report(
         n_spoof=len(non),
         confusion=confusion_counts(tar_a, non_a, thr),
         per_attack=attack_report,
+        eer_ci=ci,
     )
 
 

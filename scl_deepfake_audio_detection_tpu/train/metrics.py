@@ -202,3 +202,33 @@ def min_tdcf(
     )
     idx = int(np.argmin(curve))
     return float(curve[idx]), float(thresholds[idx])
+
+
+def eer_bootstrap_ci(
+    target_scores: np.ndarray,
+    nontarget_scores: np.ndarray,
+    n_boot: int = 1000,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Percentile bootstrap (1-alpha) confidence interval on the EER.
+
+    Trials resample with replacement independently within the bonafide and
+    spoof pools (the standard nonparametric recipe for detection metrics,
+    e.g. the ASVspoof/NIST SRE analysis tooling); the point estimate itself
+    is ``compute_eer``.  Not in the reference (``evaluate_metrics.py`` has
+    point estimates only), but EER differences between systems are routinely
+    judged against exactly this interval.
+    """
+    tar = np.asarray(target_scores, np.float64).ravel()
+    non = np.asarray(nontarget_scores, np.float64).ravel()
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    rng = np.random.default_rng(seed)
+    eers = np.empty(n_boot)
+    for i in range(n_boot):
+        t = tar[rng.integers(0, tar.size, tar.size)]
+        n = non[rng.integers(0, non.size, non.size)]
+        eers[i], _ = compute_eer(t, n)
+    lo, hi = np.quantile(eers, [alpha / 2.0, 1.0 - alpha / 2.0])
+    return float(lo), float(hi)

@@ -212,3 +212,20 @@ def test_tdcf_cost_override_changes_result():
     assert set(TDCF_COSTS_ASVSPOOF19) == {
         "Pspoof", "Ptar", "Pnon", "Cmiss_asv", "Cfa_asv", "Cmiss_cm", "Cfa_cm"
     }
+
+
+def test_eer_bootstrap_ci_brackets_point_estimate():
+    rng = np.random.default_rng(5)
+    tar = rng.normal(1.0, 1.0, 400)
+    non = rng.normal(-1.0, 1.0, 600)
+    from scl_deepfake_audio_detection_tpu.train.metrics import eer_bootstrap_ci
+
+    eer, _ = compute_eer(tar, non)
+    lo, hi = eer_bootstrap_ci(tar, non, n_boot=200, seed=1)
+    assert 0.0 <= lo <= eer <= hi <= 1.0
+    assert hi - lo < 0.15  # sane width at n=1000 trials
+    # deterministic given the seed
+    assert (lo, hi) == eer_bootstrap_ci(tar, non, n_boot=200, seed=1)
+    assert (lo, hi) != eer_bootstrap_ci(tar, non, n_boot=200, seed=2)
+    with pytest.raises(ValueError, match="n_boot"):
+        eer_bootstrap_ci(tar, non, n_boot=1)

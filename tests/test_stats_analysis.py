@@ -168,3 +168,33 @@ def test_load_asv_scores_rejects_empty(tmp_path):
 
     with pytest.raises(ValueError, match="target/nontarget"):
         load_asv_scores(str(bad))
+
+
+def test_analyze_json_and_bootstrap_ci(tmp_path, capsys):
+    """--json emits one machine-readable object; --bootstrap_ci adds a CI
+    that brackets the point EER."""
+    import json
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    proto, scores = tmp_path / "p.txt", tmp_path / "s.txt"
+    rng = np.random.default_rng(5)
+    plines, slines = [], []
+    for i in range(60):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        plines.append(f"spk u{i} - none {label}")
+        s = (1.0 if label == "bonafide" else -1.0) + rng.normal() * 0.8
+        slines.append(f"u{i} {-abs(s):.4f} {s:.4f}")
+    proto.write_text("\n".join(plines) + "\n")
+    scores.write_text("\n".join(slines) + "\n")
+
+    rc = main(["--analyze", str(scores), "--protocol", str(proto),
+               "--score_format", "eval", "--json", "--bootstrap_ci", "100",
+               "--per_attack"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    rep = json.loads(out)  # exactly one JSON object, nothing else printed
+    lo, hi = rep["eer_ci95"]
+    assert lo <= rep["eer"] <= hi
+    assert rep["confusion"]["tp"] + rep["confusion"]["fn"] == rep["n_bonafide"]
+    assert "per_attack" in rep
