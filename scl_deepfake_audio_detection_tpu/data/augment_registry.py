@@ -23,7 +23,6 @@ import os
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
-import numpy as np
 
 from scl_deepfake_audio_detection_tpu.dsp import augment as A
 from scl_deepfake_audio_detection_tpu.dsp.rawboost import process_rawboost
