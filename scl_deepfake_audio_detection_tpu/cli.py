@@ -271,7 +271,8 @@ def main(argv=None) -> int:
 
                 print(tdcf_report(score_path, args.protocol, args.asv_scores,
                                   version=args.tdcf_version,
-                                  fmt=args.score_format, subset=args.subset))
+                                  fmt=args.score_format, subset=args.subset,
+                                  per_attack=args.per_attack))
             if args.plot:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
                     matched_scores,

@@ -235,20 +235,34 @@ def tdcf_report(
     fmt: str = "auto",
     subset: Optional[str] = None,
     costs: Optional[dict] = None,
+    per_attack: bool = False,
 ) -> str:
     """min t-DCF of a CM score file against the organizers' ASV scores —
     the official ASVspoof ranking metric the reference never computes
-    (its ``evaluate_metrics.py`` stops at EER)."""
-    bona, spoof = matched_scores(score_path, protocol_path, fmt=fmt,
-                                 subset=subset)
+    (its ``evaluate_metrics.py`` stops at EER).
+
+    ``per_attack`` adds the per-system breakdown the challenge result
+    papers report: each attack's spoof scores against all bonafide, with
+    the ASV operating point held at the pooled EER threshold."""
+    tar, non, non_by_attack = _joined_trials(score_path, protocol_path,
+                                             fmt=fmt, subset=subset)
+    bona, spoof = np.asarray(tar), np.asarray(non)
     tar_asv, non_asv, spoof_asv = load_asv_scores(asv_score_path)
     val, thr = min_tdcf(bona, spoof, tar_asv, non_asv, spoof_asv,
                         version=version, costs=costs)
     asv_eer, asv_thr = compute_eer(tar_asv, non_asv)
-    return (
+    out = (
         f"min t-DCF ({version}): {val:.4f} (CM threshold {thr:+.4f}; "
         f"ASV fixed at its EER point: {100*asv_eer:.4f}% @ {asv_thr:+.4f})"
     )
+    if per_attack and non_by_attack:
+        out += "\nper-attack min t-DCF (vs all bonafide):"
+        for atk, ss in sorted(non_by_attack.items()):
+            a_val, _ = min_tdcf(bona, np.asarray(ss), tar_asv, non_asv,
+                                spoof_asv, version=version, costs=costs,
+                                asv_threshold=asv_thr)
+            out += f"\n  {atk:>8s}: {a_val:.4f}  (n={len(ss)})"
+    return out
 
 
 def plot_score_distributions(

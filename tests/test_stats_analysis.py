@@ -148,10 +148,17 @@ def test_tdcf_report_end_to_end(tmp_path, capsys):
     for version in ("legacy", "revised"):
         rc = main(["--analyze", str(scores), "--protocol", str(proto),
                    "--score_format", "eval", "--asv_scores", str(asv),
-                   "--tdcf_version", version])
+                   "--tdcf_version", version, "--per_attack"])
         assert rc == 0
         out = capsys.readouterr().out
         assert f"min t-DCF ({version}):" in out
+        assert "per-attack min t-DCF" in out
+        # every per-attack value is bounded by 1 and the worst >= pooled
+        atk_vals = [float(l.split(":")[1].split("(")[0])
+                    for l in out.splitlines()
+                    if l.startswith("  ") and "min t-DCF" not in l
+                    and "(n=" in l and "%" not in l]
+        assert atk_vals and all(0.0 <= v <= 1.0 for v in atk_vals)
 
         bona, spoof = matched_scores(str(scores), str(proto), fmt="eval")
         tar_a, non_a, spoof_a = load_asv_scores(str(asv))
