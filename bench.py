@@ -85,9 +85,11 @@ def main() -> int:
         "unit": "utt/s",
         # denominator: measured torch-CPU reference-model throughput
         # (BASELINE_MEASURED.json — the reference publishes no GPU number,
-        # BASELINE.md:19; the proxy and its caveat are recorded there)
+        # BASELINE.md:19; the proxy and its caveat are recorded there).
+        # Only meaningful for the real workload: the CPU smoke fallback
+        # runs a tiny model at 1/10 length, so its ratio would be noise.
         "vs_baseline": (
-            round(utt_per_sec / baseline, 1) if baseline else None
+            round(utt_per_sec / baseline, 1) if (baseline and on_tpu) else None
         ),
         "detail": {
             "baseline": (

@@ -110,9 +110,12 @@ def load_audio(path: str, sr: int = 16000) -> np.ndarray:
 
 def save_wav(path: str, x: np.ndarray, sr: int = 16000, subtype: str = "PCM_16") -> None:
     """PCM16 WAV writer (matches the reference's offline-aug cache format,
-    ``sf.write(..., subtype='PCM_16')``)."""
+    ``sf.write(..., subtype='PCM_16')``).  Only PCM_16 is implemented;
+    anything else raises rather than silently quantizing to 16 bits."""
+    if subtype != "PCM_16":
+        raise ValueError(f"save_wav writes PCM_16 only, got subtype={subtype!r}")
     x = np.asarray(x, np.float32)
-    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    pcm = pcm16_encode(x).astype("<i2")
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     with wave.open(path, "wb") as w:
         w.setnchannels(1)

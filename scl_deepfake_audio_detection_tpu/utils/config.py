@@ -177,12 +177,23 @@ def load_config(path: str) -> Config:
         model=ModelConfig.from_dict(raw.get("model") or {}),
         data=DataConfig.from_dict(raw.get("data") or {}),
     )
+    # train:/rawboost: are THIS framework's schema (unlike the reference-
+    # format model:/data: sections where foreign keys are expected), so an
+    # unknown key there can only be a typo — failing loudly beats silently
+    # training with the default the user thought they overrode
+    def _strict(section: str, cls):
+        entries = raw[section] or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(entries) - known)
+        if unknown:
+            raise ValueError(
+                f"unknown {section}: config keys {unknown}; valid keys: "
+                f"{sorted(known)}"
+            )
+        return cls(**entries)
+
     if "train" in raw:
-        known = {f.name for f in dataclasses.fields(TrainConfig)}
-        cfg.train = TrainConfig(**{k: v for k, v in (raw["train"] or {}).items() if k in known})
+        cfg.train = _strict("train", TrainConfig)
     if "rawboost" in raw:
-        known = {f.name for f in dataclasses.fields(RawBoostConfig)}
-        cfg.rawboost = RawBoostConfig(
-            **{k: v for k, v in (raw["rawboost"] or {}).items() if k in known}
-        )
+        cfg.rawboost = _strict("rawboost", RawBoostConfig)
     return cfg

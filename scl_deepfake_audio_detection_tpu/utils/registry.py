@@ -46,9 +46,12 @@ class Registry:
             ) from None
 
     def __contains__(self, name: str) -> bool:
-        return name in self._items
+        if name not in self._items:
+            _populate(self.kind)  # same lazy fill as get(): membership must
+        return name in self._items  # not depend on import order
 
     def names(self):
+        _populate(self.kind)
         return sorted(self._items)
 
 
@@ -70,10 +73,10 @@ def _populate(kind: str) -> None:
 
     mod = _POPULATORS.get(kind)
     if mod:
-        try:
-            importlib.import_module(mod)
-        except ImportError:
-            pass
+        # let import errors PROPAGATE: swallowing them turns a broken module
+        # into "unknown model ...; available: []" with the real traceback
+        # lost.  importlib caches, so repeat calls are cheap no-ops.
+        importlib.import_module(mod)
 
 
 def resolve_augmentation(name: str) -> Callable:

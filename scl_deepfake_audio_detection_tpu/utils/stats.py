@@ -124,10 +124,17 @@ def rank_norm(data: Sequence[float], data_range: Sequence[int]) -> List[float]:
     [0.15, 0.0, 0.15, 0.9]
     """
     data = np.asarray(data)
+    lo, hi = int(data_range[0]), int(data_range[1])
+    bad = data[(data < lo) | (data > hi)]
+    if bad.size:
+        raise ValueError(
+            f"rank_norm: {bad.size} score(s) outside data_range "
+            f"[{lo}, {hi}], e.g. {bad[0]!r}"
+        )
     order = np.sort(data, kind="quicksort")
     ranks = np.arange(len(order)) + 1
     mapping = {}
-    for score in range(int(data_range[0]), int(data_range[1]) + 1):
+    for score in range(lo, hi + 1):
         idx = ranks[order == score]
         mapping[score] = (float(np.mean(idx)) - 1) / len(data) if len(idx) else -1
     return [mapping[x] for x in data]

@@ -18,6 +18,16 @@ Design differences from the reference, deliberate:
   that quirk, ``np.asarray(codes, np.float32)`` restores it if needed);
 - no module-level g2p_en import side effects: an optional ``g2p`` callable
   is injected instead (zero-egress images have no g2p_en).
+
+Reference-faithful QUIRKS deliberately kept (pinned symbol-for-symbol by
+``tests/test_text_filelists.py`` against the reference toolkit):
+- ARPA annotation splits on ``_`` only (``{AH_IH}``); a space-separated
+  ``{AH IH}`` silently encodes to nothing (``arpabet2indices`` splits on
+  ``_pad`` and an unknown ``@``-token is dropped);
+- inside ``{}`` every non-space token gets the ``@`` marker, so punctuation
+  there (and in g2p output, which is routed through ``{}``) is dropped;
+- number spelling restores a LEADING space but eats a trailing one, so the
+  space before a ``{}`` chunk does not survive into the code sequence.
 """
 
 from __future__ import annotations

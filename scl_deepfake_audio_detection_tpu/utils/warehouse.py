@@ -63,6 +63,12 @@ class DataWarehouse:
         score_parse: Optional[Callable[[Any], Any]] = None,
     ) -> list:
         """All entry values whose tags match (``data_warehouse.py:116-133``)."""
+        if len(tag_idxs) != len(tag_values):
+            # zip would silently match on the shorter prefix — a dropped
+            # constraint returns the wrong population with no signal
+            raise ValueError(
+                f"{len(tag_idxs)} tag_idxs but {len(tag_values)} tag_values"
+            )
         out = [
             v
             for v, tags in self.entries

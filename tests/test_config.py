@@ -63,3 +63,32 @@ def test_registry_rejects_duplicates_and_reports_unknown():
     with pytest.raises(KeyError, match="unknown thing"):
         r.get("nope")
     assert r.get("a") is a
+
+
+def test_unknown_train_keys_rejected(tmp_path):
+    """train:/rawboost: are this framework's own schema — a typo'd key must
+    fail loudly, not silently train with the default."""
+    import yaml
+
+    from scl_deepfake_audio_detection_tpu.utils.config import load_config
+
+    p = tmp_path / "c.yaml"
+    yaml.safe_dump({"model": {"name": "wav2vec2_linear_nll"},
+                    "data": {"name": "asvspoof_2019_augall_3"},
+                    "train": {"max_Lr": 1e-4}}, open(p, "w"))
+    with pytest.raises(ValueError, match="max_Lr"):
+        load_config(str(p))
+    yaml.safe_dump({"model": {"name": "wav2vec2_linear_nll"},
+                    "data": {"name": "asvspoof_2019_augall_3"},
+                    "rawboost": {"nbands": 3}}, open(p, "w"))
+    with pytest.raises(ValueError, match="nbands"):
+        load_config(str(p))
+
+
+def test_registry_membership_is_import_order_independent():
+    from scl_deepfake_audio_detection_tpu.utils.registry import DATASETS, MODELS
+
+    # __contains__/names() must lazily populate like get()
+    assert "wav2vec2_linear_nll" in MODELS
+    assert "asvspoof_2019_augall_3" in DATASETS
+    assert "wav2vec2_linear_nll" in MODELS.names()

@@ -224,3 +224,11 @@ def test_parametric_companding_roundtrips():
     xs = np.linspace(-0.99, 0.99, 101)
     assert np.all(np.diff(mulaw_compand(xs, 256, False)) > 0)
     assert np.all(np.diff(alaw_compand(xs, 256, False)) > 0)
+
+
+def test_save_wav_rejects_unimplemented_subtypes(tmp_path):
+    from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+    with pytest.raises(ValueError, match="PCM_16"):
+        save_wav(str(tmp_path / "x.wav"), np.zeros(10, np.float32),
+                 16000, subtype="FLOAT")

@@ -4,6 +4,7 @@ reference's log_parser / data_warehouse / mos_norm utility capabilities."""
 import json
 
 import numpy as np
+import pytest
 
 from scl_deepfake_audio_detection_tpu.train import logs
 from scl_deepfake_audio_detection_tpu.utils.stats import rank_norm
@@ -137,3 +138,22 @@ def test_read_log_train_ragged_and_junk_rows(tmp_path):
     q.write_text("Epoch | Duration | Train | Val\n--- | --- | --- | ---\n")
     trn, val, secs = logs.read_log_train(str(q))
     assert trn is None and val is None and secs.size == 0
+
+
+def test_warehouse_view_rejects_constraint_length_mismatch(tmp_path):
+    from scl_deepfake_audio_detection_tpu.utils.warehouse import DataWarehouse
+
+    p = tmp_path / "scores.txt"
+    p.write_text("sysA A07 0.5\n")
+    value = lambda line: float(line.split()[2])
+    tag = lambda i: (lambda line: line.split()[i])
+    wh = DataWarehouse(str(p), [value], [[tag(0), tag(1)]])
+    with pytest.raises(ValueError, match="tag_values"):
+        wh.view([0, 1], ["sysA"])
+
+
+def test_rank_norm_rejects_out_of_range():
+    from scl_deepfake_audio_detection_tpu.utils.stats import rank_norm
+
+    with pytest.raises(ValueError, match="outside data_range"):
+        rank_norm([0, 1, 2], [1, 10])
