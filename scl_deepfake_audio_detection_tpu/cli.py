@@ -170,6 +170,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true", default=False,
                    help="emit the --analyze report as one JSON object "
                         "instead of text")
+    p.add_argument("--cllr", action="store_true", default=False,
+                   help="add Cllr (scores treated as LLRs) and minCllr "
+                        "(PAV discrimination floor) to --analyze")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
     return p
@@ -264,6 +267,20 @@ def main(argv=None) -> int:
                 print(_json.dumps(rep.to_dict()))
             else:
                 print(rep)
+            if args.cllr:
+                from scl_deepfake_audio_detection_tpu.train.analysis import (
+                    matched_scores,
+                )
+                from scl_deepfake_audio_detection_tpu.train.calibration import (
+                    cllr,
+                    min_cllr,
+                )
+
+                tar, non = matched_scores(score_path, args.protocol,
+                                          fmt=args.score_format,
+                                          subset=args.subset)
+                print(f"Cllr: {cllr(tar, non):.4f} bits (scores as LLRs); "
+                      f"minCllr: {min_cllr(tar, non):.4f} bits")
             if args.asv_scores:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
                     tdcf_report,

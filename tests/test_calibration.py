@@ -1,0 +1,106 @@
+"""Score calibration: affine LLR fit, Cllr/minCllr (PAV), actual DCF."""
+
+import numpy as np
+import pytest
+
+from scl_deepfake_audio_detection_tpu.train.calibration import (
+    act_dcf,
+    apply_calibration,
+    cllr,
+    logistic_calibration,
+    min_cllr,
+    pav,
+)
+
+
+def _synthetic_llrs(rng, m=2.0, n=4000):
+    """Self-consistent LLRs: llr|target ~ N(m, 2m), llr|nontarget ~ N(-m, 2m)
+    are exactly the LLRs of their own generative model."""
+    sd = np.sqrt(2.0 * m)
+    return rng.normal(m, sd, n), rng.normal(-m, sd, n)
+
+
+def test_logistic_calibration_recovers_affine_map(rng):
+    """Scores generated as llr/a - b/a must calibrate back to (a, b)."""
+    tar_llr, non_llr = _synthetic_llrs(rng, m=2.0, n=8000)
+    a_true, b_true = 2.5, -1.0
+    tar_s = (tar_llr - b_true) / a_true
+    non_s = (non_llr - b_true) / a_true
+    a, b = logistic_calibration(tar_s, non_s)
+    assert a == pytest.approx(a_true, rel=0.1)
+    assert b == pytest.approx(b_true, abs=0.25)
+    # calibration reduces Cllr of the raw (mis-scaled) scores to ~minCllr
+    raw = cllr(tar_s, non_s)
+    cal = cllr(apply_calibration(tar_s, a, b), apply_calibration(non_s, a, b))
+    floor = min_cllr(tar_s, non_s)
+    assert cal < raw
+    assert cal == pytest.approx(floor, abs=0.02)
+
+
+def test_cllr_reference_points(rng):
+    # the useless system (llr == 0 everywhere) costs exactly 1 bit
+    z = np.zeros(100)
+    assert cllr(z, z) == pytest.approx(1.0, abs=1e-12)
+    # perfect, confident LLRs cost ~0
+    assert cllr(np.full(50, 40.0), np.full(50, -40.0)) == pytest.approx(
+        0.0, abs=1e-9)
+    # well-calibrated synthetic LLRs: Cllr ~= minCllr
+    tar, non = _synthetic_llrs(rng, m=2.0, n=6000)
+    assert cllr(tar, non) == pytest.approx(min_cllr(tar, non), abs=0.02)
+
+
+def test_min_cllr_monotone_invariant(rng):
+    tar = rng.normal(1.0, 1.0, 500)
+    non = rng.normal(-1.0, 1.0, 700)
+    base = min_cllr(tar, non)
+    assert base <= cllr(tar, non) + 1e-9
+    assert min_cllr(3.0 * tar + 7.0, 3.0 * non + 7.0) == pytest.approx(
+        base, abs=1e-9)
+    assert min_cllr(np.exp(tar / 2), np.exp(non / 2)) == pytest.approx(
+        base, abs=1e-9)
+    assert 0.0 <= base <= 1.0 + 1e-9
+
+
+def test_pav_small_cases():
+    np.testing.assert_allclose(pav(np.array([3.0, 1.0, 2.0])), [2.0, 2.0, 2.0])
+    np.testing.assert_allclose(pav(np.array([1.0, 3.0, 2.0])), [1.0, 2.5, 2.5])
+    out = pav(np.array([5.0, 4.0, 3.0, 2.0, 1.0]))
+    np.testing.assert_allclose(out, np.full(5, 3.0))
+    # weighted: heavier later block pulls the pool toward it
+    w = np.array([1.0, 3.0])
+    np.testing.assert_allclose(pav(np.array([2.0, 1.0]), w), [1.25, 1.25])
+    # already monotone input is untouched
+    y = np.array([1.0, 1.5, 2.0])
+    np.testing.assert_allclose(pav(y), y)
+
+
+def test_act_dcf_calibration_gap(rng):
+    tar, non = _synthetic_llrs(rng, m=3.0, n=6000)
+    act, mn = act_dcf(tar, non, p_target=0.05)
+    assert mn <= act <= mn + 0.05  # calibrated: Bayes threshold ~ optimal
+    # grossly mis-scaled scores: actual blows up, minimum is unchanged
+    act_bad, mn_bad = act_dcf(tar * 10, non * 10, p_target=0.05)
+    assert mn_bad == pytest.approx(mn, abs=1e-9)
+    assert act_bad > act
+    with pytest.raises(ValueError, match="p_target"):
+        act_dcf(tar, non, p_target=1.5)
+
+
+def test_cllr_cli_flag(tmp_path, capsys):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(2)
+    proto, scores = tmp_path / "p.txt", tmp_path / "s.txt"
+    plines, slines = [], []
+    for i in range(40):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        plines.append(f"spk u{i} - none {label}")
+        s = (1.0 if label == "bonafide" else -1.0) + rng.normal() * 0.7
+        slines.append(f"u{i} {-abs(s):.4f} {s:.4f}")
+    proto.write_text("\n".join(plines) + "\n")
+    scores.write_text("\n".join(slines) + "\n")
+    rc = main(["--analyze", str(scores), "--protocol", str(proto),
+               "--score_format", "eval", "--cllr"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Cllr:" in out and "minCllr:" in out
