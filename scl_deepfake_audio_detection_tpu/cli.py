@@ -173,6 +173,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cllr", action="store_true", default=False,
                    help="add Cllr (scores treated as LLRs) and minCllr "
                         "(PAV discrimination floor) to --analyze")
+    p.add_argument("--fit_calibration", type=str, default=None, metavar="SCORES",
+                   help="fit affine LLR calibration (llr = a*score + b) on a "
+                        "dev score file joined with --protocol; prints a,b "
+                        "and the before/after Cllr")
+    p.add_argument("--calibrate", type=str, default=None, metavar="A,B",
+                   help="apply 'a,b' affine calibration to --serve scores "
+                        "(emit calibrated LLRs instead of raw bonafide "
+                        "log-probs)")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
     return p
@@ -227,6 +235,30 @@ def _init_params(args, model, rng_key):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # --- calibration fitting (no model needed) -------------------------------
+    if args.fit_calibration:
+        from scl_deepfake_audio_detection_tpu.train.analysis import (
+            matched_scores,
+        )
+        from scl_deepfake_audio_detection_tpu.train.calibration import (
+            apply_calibration,
+            cllr,
+            logistic_calibration,
+        )
+
+        if not args.protocol:
+            print("--fit_calibration requires --protocol", file=sys.stderr)
+            return 2
+        tar, non = matched_scores(args.fit_calibration, args.protocol,
+                                  fmt=args.score_format, subset=args.subset)
+        a, b = logistic_calibration(tar, non)
+        before = cllr(tar, non)
+        after = cllr(apply_calibration(tar, a, b), apply_calibration(non, a, b))
+        print(f"calibration: a={a:.6f} b={b:.6f} "
+              f"(Cllr {before:.4f} -> {after:.4f} bits); "
+              f"pass --calibrate {a:.6f},{b:.6f} to --serve")
+        return 0
 
     # --- analysis mode (no model needed) ------------------------------------
     if args.analyze:
@@ -496,12 +528,20 @@ def main(argv=None) -> int:
         params = cast_matmul_params(params, args.compute_dtype)
         cut = 64600  # the reference eval crop; one compiled program
 
+        cal = None
+        if args.calibrate:
+            cal = tuple(float(x) for x in args.calibrate.split(","))
+            if len(cal) != 2:
+                print("--calibrate expects 'a,b'", file=sys.stderr)
+                return 2
+
         def score_one(path: str) -> float:
             wav = pad_eval(load_audio(path), args.padding_type, cut)
             lp = engine.score_step(
                 params, buffers, jax.numpy.asarray(wav[None].astype("float32"))
             )
-            return float(lp[0, 1])  # bonafide log-prob (reference score col)
+            raw = float(lp[0, 1])  # bonafide log-prob (reference score col)
+            return cal[0] * raw + cal[1] if cal else raw
 
         print("serve: one '<wav-path>' or '<id>\\t<wav-path>' per line; "
               "replies '<id-or-path>\\t<score>' (first reply compiles, "

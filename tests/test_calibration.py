@@ -104,3 +104,28 @@ def test_cllr_cli_flag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Cllr:" in out and "minCllr:" in out
+
+
+def test_fit_calibration_cli(tmp_path, capsys):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(4)
+    proto, scores = tmp_path / "p.txt", tmp_path / "s.txt"
+    plines, slines = [], []
+    for i in range(80):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        plines.append(f"spk u{i} - none {label}")
+        s = (1.5 if label == "bonafide" else -1.5) + rng.normal()
+        slines.append(f"u{i} {-abs(s):.4f} {s:.4f}")
+    proto.write_text("\n".join(plines) + "\n")
+    scores.write_text("\n".join(slines) + "\n")
+    rc = main(["--fit_calibration", str(scores), "--protocol", str(proto),
+               "--score_format", "eval"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "a=" in out and "b=" in out and "Cllr" in out
+    # the printed Cllr must improve (or match) after calibration
+    import re
+
+    m = re.search(r"Cllr (\d+\.\d+) -> (\d+\.\d+)", out)
+    assert float(m.group(2)) <= float(m.group(1)) + 1e-6
