@@ -177,6 +177,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fit affine LLR calibration (llr = a*score + b) on a "
                         "dev score file joined with --protocol; prints a,b "
                         "and the before/after Cllr")
+    p.add_argument("--fuse", type=str, default=None, metavar="S1,S2[,..]",
+                   help="fit logistic score fusion over K dev score files "
+                        "(labels from --protocol); prints weights and the "
+                        "fused EER/Cllr.  With --fuse_eval/--fuse_out, also "
+                        "applies the fit to K matching eval score files")
+    p.add_argument("--fuse_eval", type=str, default=None, metavar="E1,E2[,..]",
+                   help="eval-side score files (same system order as --fuse)")
+    p.add_argument("--fuse_out", type=str, default=None,
+                   help="output path for fused eval scores (pred format)")
     p.add_argument("--calibrate", type=str, default=None, metavar="A,B",
                    help="apply 'a,b' affine calibration to --serve scores "
                         "(emit calibrated LLRs instead of raw bonafide "
@@ -235,6 +244,37 @@ def _init_params(args, model, rng_key):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # --- score fusion (no model needed) --------------------------------------
+    if args.fuse:
+        from scl_deepfake_audio_detection_tpu.train.analysis import (
+            fit_fusion,
+            write_fused_scores,
+        )
+
+        if not args.protocol:
+            print("--fuse requires --protocol (dev labels)", file=sys.stderr)
+            return 2
+        paths = [p_.strip() for p_ in args.fuse.split(",") if p_.strip()]
+        w, b, rep = fit_fusion(paths, args.protocol, fmt=args.score_format,
+                               subset=args.subset)
+        for sysr in rep["systems"]:
+            print(f"system {sysr['path']}: EER {100*sysr['eer']:.4f}%")
+        print(f"fused ({rep['n_matched']} labeled / {rep['n_common']} common "
+              f"utts): EER {100*rep['fused']['eer']:.4f}%, "
+              f"Cllr {rep['fused']['cllr']:.4f} bits; "
+              f"weights={[round(float(x), 6) for x in w]} bias={b:.6f}")
+        if args.fuse_eval and args.fuse_out:
+            eval_paths = [p_.strip() for p_ in args.fuse_eval.split(",")
+                          if p_.strip()]
+            if len(eval_paths) != len(paths):
+                print("--fuse_eval must list one file per --fuse system",
+                      file=sys.stderr)
+                return 2
+            n = write_fused_scores(eval_paths, w, b, args.fuse_out,
+                                   fmt=args.score_format)
+            print(f"wrote {n} fused scores -> {args.fuse_out}")
+        return 0
 
     # --- calibration fitting (no model needed) -------------------------------
     if args.fit_calibration:

@@ -295,3 +295,78 @@ def plot_score_distributions(
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def stack_scores(
+    paths: List[str], fmt: str = "auto"
+) -> Tuple[List[str], np.ndarray]:
+    """Align K score files on their common utterances -> (utts, [N, K]).
+
+    Keys are extension-less basenames (the Result.ipynb join convention);
+    utterances missing from any system are dropped (reported by count in
+    the CLI).  Order follows the first file."""
+    if len(paths) < 2:
+        raise ValueError("fusion needs at least 2 score files")
+    maps = []
+    for p in paths:
+        scores = load_scores(p, fmt=fmt)
+        maps.append({os.path.basename(u).split(".")[0]: (u, s)
+                     for u, s in scores.items()})
+    common = [k for k in maps[0] if all(k in m for m in maps[1:])]
+    utts = [maps[0][k][0] for k in common]
+    stack = np.asarray([[m[k][1] for m in maps] for k in common], np.float64)
+    return utts, stack
+
+
+def fit_fusion(
+    paths: List[str], protocol_path: str, fmt: str = "auto",
+    subset: Optional[str] = None,
+) -> Tuple[np.ndarray, float, dict]:
+    """Fit logistic fusion weights on protocol-labeled dev scores.
+
+    -> (weights [K], bias, report dict with per-system and fused EER/Cllr)."""
+    from scl_deepfake_audio_detection_tpu.train.calibration import (
+        cllr,
+        fuse_scores,
+        logistic_fusion,
+    )
+
+    utts, stack = stack_scores(paths, fmt=fmt)
+    trials = parse_protocol(protocol_path)
+    if subset is not None:
+        trials = [t for t in trials if t.subset == subset]
+    label_by_key = {
+        os.path.basename(t.utt).split(".")[0]: t.label
+        for t in trials if t.label is not None
+    }
+    keys = [os.path.basename(u).split(".")[0] for u in utts]
+    keep = [i for i, k in enumerate(keys) if k in label_by_key]
+    y = np.asarray([label_by_key[keys[i]] for i in keep])
+    X = stack[keep]
+    tar, non = X[y == 1], X[y == 0]
+    w, b = logistic_fusion(tar, non)
+    report = {"n_matched": len(keep), "n_common": len(utts), "systems": []}
+    for k in range(X.shape[1]):
+        eer_k, _ = compute_eer(tar[:, k], non[:, k])
+        report["systems"].append({"path": paths[k], "eer": float(eer_k)})
+    fused_t, fused_n = fuse_scores(tar, w, b), fuse_scores(non, w, b)
+    eer_f, _ = compute_eer(fused_t, fused_n)
+    report["fused"] = {"eer": float(eer_f),
+                       "cllr": cllr(fused_t, fused_n)}
+    return w, b, report
+
+
+def write_fused_scores(
+    paths: List[str], weights: np.ndarray, bias: float, out_path: str,
+    fmt: str = "auto",
+) -> int:
+    """Apply fusion weights to K aligned score files; write 'utt llr pred'
+    (pred-format, loadable by --analyze).  Returns rows written."""
+    from scl_deepfake_audio_detection_tpu.train.calibration import fuse_scores
+
+    utts, stack = stack_scores(paths, fmt=fmt)
+    llr = fuse_scores(stack, weights, bias)
+    with open(out_path, "w") as f:
+        for u, v in zip(utts, llr):
+            f.write(f"{u} {v} {int(v > 0)}\n")
+    return len(utts)

@@ -32,6 +32,36 @@ import numpy as np
 # Affine (Platt) calibration
 # ---------------------------------------------------------------------------
 
+def _balanced_logistic_fit(
+    X_tar: np.ndarray, X_non: np.ndarray, max_iter: int, tol: float
+) -> np.ndarray:
+    """Balanced-ML logistic regression over [N, K] design rows (bias added
+    here); Newton-Raphson with a tiny ridge for separable data.  Returns
+    beta [K+1] = (weights..., bias)."""
+    if X_tar.shape[0] == 0 or X_non.shape[0] == 0:
+        raise ValueError("both score sets must be non-empty")
+    X = np.concatenate([X_tar, X_non])
+    X = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+    y = np.concatenate([np.ones(X_tar.shape[0]), np.zeros(X_non.shape[0])])
+    w = np.concatenate([
+        np.full(X_tar.shape[0], 0.5 / X_tar.shape[0]),
+        np.full(X_non.shape[0], 0.5 / X_non.shape[0]),
+    ])
+    k = X.shape[1]
+    beta = np.zeros(k)
+    ridge = 1e-9 * np.eye(k)
+    for _ in range(max_iter):
+        z = X @ beta
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (w * (p - y))
+        h = (X * (w * p * (1.0 - p))[:, None]).T @ X + ridge
+        step = np.linalg.solve(h, g)
+        beta -= step
+        if np.max(np.abs(step)) < tol:
+            break
+    return beta
+
+
 def logistic_calibration(
     target_scores: np.ndarray,
     nontarget_scores: np.ndarray,
@@ -42,30 +72,33 @@ def logistic_calibration(
 
     Balanced class weighting (each class contributes total weight 1/2)
     makes the fitted output a proper log-likelihood ratio rather than a
-    posterior at the training class ratio.  Newton-Raphson with a tiny
-    ridge for separable data.  Returns (a, b)."""
-    tar = np.asarray(target_scores, np.float64).ravel()
-    non = np.asarray(nontarget_scores, np.float64).ravel()
-    if tar.size == 0 or non.size == 0:
-        raise ValueError("both score sets must be non-empty")
-    s = np.concatenate([tar, non])
-    y = np.concatenate([np.ones(tar.size), np.zeros(non.size)])
-    w = np.concatenate([
-        np.full(tar.size, 0.5 / tar.size), np.full(non.size, 0.5 / non.size)
-    ])
-    X = np.stack([s, np.ones_like(s)], axis=1)
-    beta = np.zeros(2)
-    ridge = 1e-9 * np.eye(2)
-    for _ in range(max_iter):
-        z = X @ beta
-        p = 1.0 / (1.0 + np.exp(-z))
-        g = X.T @ (w * (p - y))
-        h = (X * (w * p * (1.0 - p))[:, None]).T @ X + ridge
-        step = np.linalg.solve(h, g)
-        beta -= step
-        if np.max(np.abs(step)) < tol:
-            break
+    posterior at the training class ratio.  Returns (a, b)."""
+    tar = np.asarray(target_scores, np.float64).reshape(-1, 1)
+    non = np.asarray(nontarget_scores, np.float64).reshape(-1, 1)
+    beta = _balanced_logistic_fit(tar, non, max_iter, tol)
     return float(beta[0]), float(beta[1])
+
+
+def logistic_fusion(
+    target_stack: np.ndarray,
+    nontarget_stack: np.ndarray,
+    max_iter: int = 100,
+    tol: float = 1e-10,
+) -> Tuple[np.ndarray, float]:
+    """Fit ``llr = w @ scores + b`` over K systems' scores [N, K]
+    (Brummer-style linear score fusion, the standard way challenge entries
+    combine subsystems).  Returns (weights [K], bias)."""
+    tar = np.asarray(target_stack, np.float64)
+    non = np.asarray(nontarget_stack, np.float64)
+    if tar.ndim != 2 or non.ndim != 2 or tar.shape[1] != non.shape[1]:
+        raise ValueError("score stacks must be [N, K] with matching K")
+    beta = _balanced_logistic_fit(tar, non, max_iter, tol)
+    return beta[:-1].copy(), float(beta[-1])
+
+
+def fuse_scores(stack: np.ndarray, weights: np.ndarray, bias: float) -> np.ndarray:
+    """[N, K] system scores -> fused LLRs [N]."""
+    return np.asarray(stack, np.float64) @ np.asarray(weights, np.float64) + bias
 
 
 def apply_calibration(scores: np.ndarray, a: float, b: float) -> np.ndarray:

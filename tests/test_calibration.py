@@ -129,3 +129,69 @@ def test_fit_calibration_cli(tmp_path, capsys):
 
     m = re.search(r"Cllr (\d+\.\d+) -> (\d+\.\d+)", out)
     assert float(m.group(2)) <= float(m.group(1)) + 1e-6
+
+
+def test_logistic_fusion_beats_single_systems(rng):
+    """Two noisy views of the same underlying LLR: fusion must outperform
+    each system alone (lower Cllr, lower or equal EER)."""
+    from scl_deepfake_audio_detection_tpu.train.calibration import (
+        fuse_scores,
+        logistic_fusion,
+    )
+    from scl_deepfake_audio_detection_tpu.train.metrics import compute_eer
+
+    tar_llr, non_llr = _synthetic_llrs(rng, m=1.5, n=5000)
+    # system k observes llr/ak - noise (independent noise per system)
+    t1, n1 = tar_llr + rng.normal(0, 2.0, tar_llr.size), non_llr + rng.normal(0, 2.0, non_llr.size)
+    t2, n2 = tar_llr + rng.normal(0, 2.0, tar_llr.size), non_llr + rng.normal(0, 2.0, non_llr.size)
+    w, b = logistic_fusion(np.stack([t1, t2], 1), np.stack([n1, n2], 1))
+    ft = fuse_scores(np.stack([t1, t2], 1), w, b)
+    fn = fuse_scores(np.stack([n1, n2], 1), w, b)
+    eer_f, _ = compute_eer(ft, fn)
+    eer_1, _ = compute_eer(t1, n1)
+    eer_2, _ = compute_eer(t2, n2)
+    assert eer_f < min(eer_1, eer_2)
+    assert cllr(ft, fn) < min(cllr(t1, n1), cllr(t2, n2)) + 1e-6
+    with pytest.raises(ValueError, match="matching K"):
+        logistic_fusion(np.zeros((4, 2)), np.zeros((4, 3)))
+
+
+def test_fusion_cli_end_to_end(tmp_path, capsys):
+    """--fuse fits on dev, --fuse_eval/--fuse_out writes fused eval scores
+    that --analyze then reads (pred format)."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(9)
+
+    def make_set(prefix, n):
+        plines, s1, s2 = [], [], []
+        for i in range(n):
+            label = "bonafide" if i % 2 == 0 else "spoof"
+            plines.append(f"spk {prefix}{i} - none {label}")
+            base = 1.0 if label == "bonafide" else -1.0
+            s1.append(f"{prefix}{i} 0.0 {base + rng.normal()*0.8:.4f}")
+            s2.append(f"{prefix}{i} 0.0 {base + rng.normal()*0.8:.4f}")
+        return plines, s1, s2
+
+    dp, d1, d2 = make_set("d", 80)
+    ep, e1, e2 = make_set("e", 40)
+    (tmp_path / "dev_proto.txt").write_text("\n".join(dp) + "\n")
+    (tmp_path / "dev1.txt").write_text("\n".join(d1) + "\n")
+    (tmp_path / "dev2.txt").write_text("\n".join(d2) + "\n")
+    (tmp_path / "eval_proto.txt").write_text("\n".join(ep) + "\n")
+    (tmp_path / "eval1.txt").write_text("\n".join(e1) + "\n")
+    (tmp_path / "eval2.txt").write_text("\n".join(e2) + "\n")
+
+    rc = main(["--fuse", f"{tmp_path}/dev1.txt,{tmp_path}/dev2.txt",
+               "--protocol", str(tmp_path / "dev_proto.txt"),
+               "--score_format", "eval",
+               "--fuse_eval", f"{tmp_path}/eval1.txt,{tmp_path}/eval2.txt",
+               "--fuse_out", str(tmp_path / "fused.txt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fused (" in out and "weights=" in out
+    # fused output is analyzable
+    rc = main(["--analyze", str(tmp_path / "fused.txt"),
+               "--protocol", str(tmp_path / "eval_proto.txt"),
+               "--score_format", "pred"])
+    assert rc == 0
