@@ -199,13 +199,18 @@ def act_dcf(
     bayes_thr = -np.log(eff / (1.0 - eff))
     norm = min(p_target * c_miss, (1 - p_target) * c_fa)
 
-    def dcf_at(thr: float) -> float:
-        pmiss = float(np.mean(tar < thr))
-        pfa = float(np.mean(non >= thr))
+    tar_sorted = np.sort(tar)
+    non_sorted = np.sort(non)
+
+    def dcf_at(thr: np.ndarray) -> np.ndarray:
+        # vectorized over thresholds via sorted-search (a per-threshold
+        # recount would make the full sweep O(N^2))
+        pmiss = np.searchsorted(tar_sorted, thr, side="left") / tar.size
+        pfa = 1.0 - np.searchsorted(non_sorted, thr, side="left") / non.size
         return (p_target * c_miss * pmiss + (1 - p_target) * c_fa * pfa) / norm
 
-    actual = dcf_at(float(bayes_thr))
-    sweep = np.concatenate([[min(tar.min(), non.min()) - 1e-3],
+    actual = float(dcf_at(np.asarray([bayes_thr]))[0])
+    sweep = np.concatenate([[min(tar_sorted[0], non_sorted[0]) - 1e-3],
                             np.sort(np.concatenate([tar, non]))])
-    minimum = min(dcf_at(float(t)) for t in sweep)
+    minimum = float(dcf_at(sweep).min())
     return actual, minimum
