@@ -31,7 +31,35 @@ def _baseline_utt_per_sec():
         return None
 
 
+def _accelerator_responsive(timeout_s: float = 180.0) -> bool:
+    """Probe the default backend in a TIME-BOXED subprocess.
+
+    A degraded tunneled accelerator hangs ``jax.default_backend()``
+    in-process with no way to cancel, turning the whole bench into a
+    driver timeout; probing out-of-process lets us fall back to the CPU
+    smoke line instead (observed live: tunnel outage on 2026-08-17)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))"
+            ".block_until_ready(); print('BACKEND=' + jax.default_backend())")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return proc.returncode == 0 and "BACKEND=tpu" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _accelerator_responsive():
+        # force CPU BEFORE the first in-process backend init (config beats
+        # the site plugin's env override; same pattern as tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
