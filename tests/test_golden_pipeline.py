@@ -104,3 +104,41 @@ if __name__ == "__main__":  # regenerate the committed expectations
         f.write("\n".join(lines) + "\n")
     print(f"wrote {EXPECTED}:")
     print("\n".join(lines))
+
+
+def test_golden_train_step_loss_is_stable(tmp_path):
+    """One jitted train step (SupCon + CE + optimizer) from the committed
+    golden checkpoint on deterministic synthetic views: the loss is pinned,
+    so unintended numerics drift in losses/grad/optimizer plumbing fails
+    even when per-op parity tests still pass.
+
+    Regenerate the pin ONLY for deliberate numerics changes (print the new
+    value by running this test with -s after setting _PRINT=True)."""
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+    from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
+
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    tree, _ = ckpt.load(CKPT)
+    engine = Engine(model, TrainConfig(max_lr=1e-4))
+    params, buffers, opt_state = engine.init_state(
+        jax.random.key(0), params=tree["params"]
+    )
+    rng = np.random.default_rng(20240817)
+    g, v, t = 2, 4, 8000
+    wav = (0.2 * rng.normal(size=(g, v, t))).astype(np.float32)
+    labels = np.tile([1.0, 1.0, 0.0, 0.0], (g, 1)).astype(np.float32)
+    _, _, _, metrics = engine.run_epoch(
+        params, buffers, opt_state,
+        [{"wav": wav, "labels": labels}], jax.random.key(7),
+    )
+    _PRINT = False
+    if _PRINT:  # pragma: no cover - regeneration helper
+        print({k: f"{v:.10f}" for k, v in metrics.items()})
+    assert metrics["loss"] == pytest.approx(0.7708058953, abs=2e-4)
+    assert metrics["L_CE"] == pytest.approx(0.1741586030, abs=1e-4)
+    assert metrics["L_CF1"] == pytest.approx(0.3219523132, abs=1e-4)
+    assert metrics["L_CF2"] == pytest.approx(0.2746949792, abs=1e-4)
+    assert metrics["accuracy"] == pytest.approx(0.5, abs=1e-6)
