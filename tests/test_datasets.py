@@ -352,3 +352,25 @@ def test_train_loader_early_exit_stops_producer(db):
 
         time.sleep(0.05)
     assert not leaked, leaked
+
+
+def test_train_loader_batches_invariant_to_worker_count(db):
+    """Reproducibility contract: batch contents depend only on (seed, epoch,
+    index) — never on how many worker threads built them (pool.map preserves
+    order; per-item RNG derives from idx/epoch)."""
+    spec = SCLBatchSpec(
+        variant="augall_3", vocoders=VOCODERS, augmentation_methods=["RawBoost12"],
+        num_additional_real=1, trim_length=8000,
+    )
+    root, utts = db
+    def batches(workers):
+        b = SCLViewBatchBuilder(spec, str(root), utts, _resources(root), seed=9)
+        loader = TrainLoader(b, groups_per_step=2, num_workers=workers, seed=9)
+        return list(loader.epoch(1))
+
+    b1, b4 = batches(1), batches(4)
+    assert len(b1) == len(b4)
+    for x, y in zip(b1, b4):
+        assert x["utts"] == y["utts"]
+        np.testing.assert_array_equal(x["wav"], y["wav"])
+        np.testing.assert_array_equal(x["labels"], y["labels"])
