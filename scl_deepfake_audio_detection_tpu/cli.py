@@ -190,6 +190,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply 'a,b' affine calibration to --serve scores "
                         "(emit calibrated LLRs instead of raw bonafide "
                         "log-probs)")
+    p.add_argument("--serve_batch", type=int, default=1,
+                   help="--serve: score up to N pending requests as ONE "
+                        "fixed-shape batch (the TPU serving lever — batch-1 "
+                        "forwards leave most of the chip idle under load); "
+                        "latency for a lone request is unchanged")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
     return p

@@ -332,3 +332,40 @@ def test_cli_show_params(capsys):
     counts = [int(m) for m in re.findall(r"Para\. num: (\d+)", out)]
     assert sum(counts) == total and total > 0
     assert "['ssl']" in out and "Shape: (" in out
+
+
+def test_cli_serve_batch_matches_batch1(tmp_path, monkeypatch):
+    """--serve_batch N groups pending requests into one fixed-shape batch;
+    scores must match the batch-1 path for the same audio, errors keep
+    their per-line replies, and reply order follows request order."""
+    import io
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(8)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"b{i}.wav")
+        save_wav(p, (rng.normal(size=5000) * 0.2).astype(np.float32), SR)
+        paths.append(p)
+    lines = paths[:2] + ["bad\t/nope.wav"] + paths[2:]
+
+    def run(extra):
+        import sys as _sys
+
+        monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+        out = io.StringIO()
+        monkeypatch.setattr(_sys, "stdout", out)
+        rc = main(["--serve", "--ssl_preset", "tiny",
+                   "--config", "configs/conf-3-linear.yaml"] + extra)
+        assert rc == 0
+        return [l.split("\t") for l in out.getvalue().strip().splitlines()]
+
+    r1 = run([])
+    r4 = run(["--serve_batch", "4"])
+    assert [r[0] for r in r1] == [r[0] for r in r4]
+    for a, b in zip(r1, r4):
+        if a[1].startswith("ERROR"):
+            assert b[1].startswith("ERROR")
+        else:
+            assert float(a[1]) == pytest.approx(float(b[1]), abs=2e-5)
