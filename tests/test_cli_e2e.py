@@ -369,3 +369,47 @@ def test_cli_serve_batch_matches_batch1(tmp_path, monkeypatch):
             assert b[1].startswith("ERROR")
         else:
             assert float(a[1]) == pytest.approx(float(b[1]), abs=2e-5)
+
+
+def test_serve_scores_match_eval_writer(tmp_path, monkeypatch):
+    """Cross-surface consistency: --serve replies equal the --eval writer's
+    cm1 column for the same audio, padding, and checkpoint-free params."""
+    import io
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(12)
+    eval_dir = tmp_path / "db" / "eval"
+    os.makedirs(eval_dir)
+    utts = []
+    for i in range(3):
+        u = f"x{i}.wav"
+        save_wav(str(eval_dir / u),
+                 (rng.normal(size=7000) * 0.2).astype(np.float32), SR)
+        utts.append(u)
+    os.makedirs(tmp_path / "db" / "scp")
+    (tmp_path / "db" / "scp" / "test.lst").write_text("\n".join(utts) + "\n")
+
+    common = ["--ssl_preset", "tiny", "--config", "configs/conf-3-linear.yaml",
+              "--seed", "77", "--padding_type", "zero"]
+    rc = main(["--eval", "--database_path", str(tmp_path / "db"),
+               "--eval_output", str(tmp_path / "scores.txt"),
+               "--batch_size", "2"] + common)
+    assert rc == 0
+    eval_scores = {}
+    for ln in open(tmp_path / "scores.txt"):
+        u, _cm0, cm1 = ln.split()
+        eval_scores[u] = float(cm1)
+
+    import sys as _sys
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "\n".join(str(eval_dir / u) for u in utts) + "\n"))
+    out = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", out)
+    rc = main(["--serve"] + common)
+    assert rc == 0
+    for ln in out.getvalue().strip().splitlines():
+        path, score = ln.split("\t")
+        assert float(score) == pytest.approx(
+            eval_scores[os.path.basename(path)], abs=2e-5), ln
