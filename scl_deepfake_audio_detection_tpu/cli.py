@@ -197,6 +197,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "latency for a lone request is unchanged")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
+    p.add_argument("--plot_det", type=str, default=None,
+                   help="save a DET curve (normal-deviate axes) of --analyze here")
     return p
 
 
@@ -367,6 +369,17 @@ def main(argv=None) -> int:
                                   version=args.tdcf_version,
                                   fmt=args.score_format, subset=args.subset,
                                   per_attack=args.per_attack))
+            if args.plot_det:
+                from scl_deepfake_audio_detection_tpu.train.analysis import (
+                    matched_scores,
+                    plot_det_curve,
+                )
+
+                tar, non = matched_scores(score_path, args.protocol,
+                                          fmt=args.score_format,
+                                          subset=args.subset)
+                print(f"DET curve -> "
+                      f"{plot_det_curve(tar, non, args.plot_det)}")
             if args.plot:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
                     matched_scores,

@@ -370,3 +370,54 @@ def write_fused_scores(
         for u, v in zip(utts, llr):
             f.write(f"{u} {v} {int(v > 0)}\n")
     return len(utts)
+
+
+def plot_det_curve(
+    tar: np.ndarray,
+    non: np.ndarray,
+    out_path: str,
+    title: str = "DET curve",
+) -> str:
+    """DET curve on normal-deviate axes (Martin et al., Eurospeech 1997) —
+    the standard detection visual; the EER sits where the curve crosses the
+    diagonal.  Headless Agg figure, saved to ``out_path``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.stats import norm
+
+    from scl_deepfake_audio_detection_tpu.train.metrics import (
+        compute_eer,
+        det_curve,
+    )
+
+    frr, far, _ = det_curve(tar, non)
+    # clamp away exact 0/1 (probit is infinite there)
+    eps = 0.5 / max(len(tar), len(non))
+    frr = np.clip(frr, eps, 1 - eps)
+    far = np.clip(far, eps, 1 - eps)
+    eer, _thr = compute_eer(tar, non)
+
+    fig, ax = plt.subplots(figsize=(5.5, 5.5))
+    ax.plot(norm.ppf(far), norm.ppf(frr), linewidth=1.5)
+    ax.scatter([norm.ppf(eer)], [norm.ppf(eer)], marker="o", zorder=3,
+               label=f"EER {100*eer:.2f}%")
+    ticks = np.array([0.001, 0.01, 0.05, 0.1, 0.2, 0.4, 0.6, 0.8])
+    ax.set_xticks(norm.ppf(ticks))
+    ax.set_xticklabels([f"{100*t:g}" for t in ticks])
+    ax.set_yticks(norm.ppf(ticks))
+    ax.set_yticklabels([f"{100*t:g}" for t in ticks])
+    lim = (norm.ppf(eps * 0.9), norm.ppf(0.9))
+    ax.plot(lim, lim, linestyle=":", linewidth=0.8, color="gray")
+    ax.set_xlim(lim)
+    ax.set_ylim(lim)
+    ax.set_xlabel("false acceptance rate (%)")
+    ax.set_ylabel("false rejection rate (%)")
+    ax.set_title(title)
+    ax.grid(True, linewidth=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -205,3 +205,14 @@ def test_analyze_json_and_bootstrap_ci(tmp_path, capsys):
     assert lo <= rep["eer"] <= hi
     assert rep["confusion"]["tp"] + rep["confusion"]["fn"] == rep["n_bonafide"]
     assert "per_attack" in rep
+
+
+def test_det_curve_plot(tmp_path):
+    from scl_deepfake_audio_detection_tpu.train.analysis import plot_det_curve
+
+    rng = np.random.default_rng(6)
+    out = plot_det_curve(rng.normal(1, 1, 400), rng.normal(-1, 1, 600),
+                         str(tmp_path / "det.png"))
+    import os
+
+    assert os.path.getsize(out) > 10_000  # a real rendered figure
