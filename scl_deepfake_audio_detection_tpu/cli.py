@@ -340,58 +340,84 @@ def main(argv=None) -> int:
             rep = score_report(score_path, args.protocol, fmt=args.score_format,
                                subset=args.subset, per_attack=args.per_attack,
                                bootstrap_ci=args.bootstrap_ci)
-            if args.json:
-                import json as _json
-
-                print(_json.dumps(rep.to_dict()))
-            else:
-                print(rep)
-            if args.cllr:
+            # join ONCE for every extra that needs raw arrays (cllr, t-DCF
+            # in json mode, plots) instead of re-parsing per flag
+            tar = non = None
+            if (args.cllr or args.plot or args.plot_det
+                    or (args.asv_scores and args.json)):
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
                     matched_scores,
                 )
+
+                tar, non = matched_scores(score_path, args.protocol,
+                                          fmt=args.score_format,
+                                          subset=args.subset)
+            out = rep.to_dict() if args.json else None
+            if not args.json:
+                print(rep)
+            if args.cllr:
                 from scl_deepfake_audio_detection_tpu.train.calibration import (
                     cllr,
                     min_cllr,
                 )
 
-                tar, non = matched_scores(score_path, args.protocol,
-                                          fmt=args.score_format,
-                                          subset=args.subset)
-                print(f"Cllr: {cllr(tar, non):.4f} bits (scores as LLRs); "
-                      f"minCllr: {min_cllr(tar, non):.4f} bits")
+                c, mc = cllr(tar, non), min_cllr(tar, non)
+                if args.json:
+                    out["cllr"] = c
+                    out["min_cllr"] = mc
+                else:
+                    print(f"Cllr: {c:.4f} bits (scores as LLRs); "
+                          f"minCllr: {mc:.4f} bits")
             if args.asv_scores:
-                from scl_deepfake_audio_detection_tpu.train.analysis import (
-                    tdcf_report,
-                )
+                if args.json:
+                    from scl_deepfake_audio_detection_tpu.train.analysis import (
+                        load_asv_scores,
+                    )
+                    from scl_deepfake_audio_detection_tpu.train.metrics import (
+                        min_tdcf,
+                    )
 
-                print(tdcf_report(score_path, args.protocol, args.asv_scores,
-                                  version=args.tdcf_version,
-                                  fmt=args.score_format, subset=args.subset,
-                                  per_attack=args.per_attack))
+                    tar_a, non_a, spoof_a = load_asv_scores(args.asv_scores)
+                    val, thr = min_tdcf(tar, non, tar_a, non_a, spoof_a,
+                                        version=args.tdcf_version)
+                    out["min_tdcf"] = {"version": args.tdcf_version,
+                                       "value": val, "cm_threshold": thr}
+                else:
+                    from scl_deepfake_audio_detection_tpu.train.analysis import (
+                        tdcf_report,
+                    )
+
+                    print(tdcf_report(score_path, args.protocol,
+                                      args.asv_scores,
+                                      version=args.tdcf_version,
+                                      fmt=args.score_format,
+                                      subset=args.subset,
+                                      per_attack=args.per_attack))
             if args.plot_det:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
-                    matched_scores,
                     plot_det_curve,
                 )
 
-                tar, non = matched_scores(score_path, args.protocol,
-                                          fmt=args.score_format,
-                                          subset=args.subset)
-                print(f"DET curve -> "
-                      f"{plot_det_curve(tar, non, args.plot_det)}")
+                path = plot_det_curve(tar, non, args.plot_det)
+                if args.json:
+                    out["det_plot"] = path
+                else:
+                    print(f"DET curve -> {path}")
             if args.plot:
                 from scl_deepfake_audio_detection_tpu.train.analysis import (
-                    matched_scores,
                     plot_score_distributions,
                 )
 
-                tar, non = matched_scores(score_path, args.protocol,
-                                          fmt=args.score_format,
-                                          subset=args.subset)
                 path = plot_score_distributions(tar, non, args.plot,
                                                 threshold=rep.threshold)
-                print(f"score distribution figure -> {path}")
+                if args.json:
+                    out["distribution_plot"] = path
+                else:
+                    print(f"score distribution figure -> {path}")
+            if args.json:
+                import json as _json
+
+                print(_json.dumps(out))
         finally:
             if cleanup_merged:
                 os.unlink(cleanup_merged)

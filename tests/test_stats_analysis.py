@@ -216,3 +216,37 @@ def test_det_curve_plot(tmp_path):
     import os
 
     assert os.path.getsize(out) > 10_000  # a real rendered figure
+
+
+def test_analyze_json_is_one_object_with_all_extras(tmp_path, capsys):
+    """--json with --cllr/--asv_scores/--plot_det emits exactly ONE JSON
+    object carrying every requested extra (no loose text lines)."""
+    import json
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(13)
+    proto, scores, asv = (tmp_path / n for n in ("p.txt", "s.txt", "a.txt"))
+    plines, slines = [], []
+    for i in range(40):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        plines.append(f"spk u{i} - none {label}")
+        s = (1.0 if label == "bonafide" else -1.0) + rng.normal() * 0.6
+        slines.append(f"u{i} {-abs(s):.4f} {s:.4f}")
+    proto.write_text("\n".join(plines) + "\n")
+    scores.write_text("\n".join(slines) + "\n")
+    alines = [f"a{i} target {rng.normal(2.0):.4f}" for i in range(40)]
+    alines += [f"a{i} nontarget {rng.normal(-2.0):.4f}" for i in range(40)]
+    alines += [f"a{i} spoof {rng.normal(0.5):.4f}" for i in range(40)]
+    asv.write_text("\n".join(alines) + "\n")
+
+    rc = main(["--analyze", str(scores), "--protocol", str(proto),
+               "--score_format", "eval", "--json", "--cllr",
+               "--asv_scores", str(asv),
+               "--plot_det", str(tmp_path / "det.png")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    obj = json.loads(out)  # a single object, nothing else on stdout
+    for key in ("eer", "cllr", "min_cllr", "min_tdcf", "det_plot"):
+        assert key in obj, key
+    assert obj["min_tdcf"]["version"] == "legacy"
