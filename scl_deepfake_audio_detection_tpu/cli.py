@@ -371,9 +371,11 @@ def main(argv=None) -> int:
             if args.asv_scores:
                 if args.json:
                     from scl_deepfake_audio_detection_tpu.train.analysis import (
+                        _joined_trials,
                         load_asv_scores,
                     )
                     from scl_deepfake_audio_detection_tpu.train.metrics import (
+                        compute_eer,
                         min_tdcf,
                     )
 
@@ -382,6 +384,19 @@ def main(argv=None) -> int:
                                         version=args.tdcf_version)
                     out["min_tdcf"] = {"version": args.tdcf_version,
                                        "value": val, "cm_threshold": thr}
+                    if args.per_attack:
+                        # same breakdown the text surface prints: each
+                        # attack vs all bonafide at the pooled ASV point
+                        _, _, by_atk = _joined_trials(
+                            score_path, args.protocol,
+                            fmt=args.score_format, subset=args.subset)
+                        _, asv_thr = compute_eer(tar_a, non_a)
+                        out["min_tdcf"]["per_attack"] = {
+                            atk: min_tdcf(tar, ss, tar_a, non_a, spoof_a,
+                                          version=args.tdcf_version,
+                                          asv_threshold=asv_thr)[0]
+                            for atk, ss in sorted(by_atk.items())
+                        }
                 else:
                     from scl_deepfake_audio_detection_tpu.train.analysis import (
                         tdcf_report,
@@ -566,20 +581,26 @@ def main(argv=None) -> int:
                 resume_opt = args.model_path  # full train state: exact resume
                 resume_epoch = int(extra.get("epoch", -1)) + 1
             print(f"loaded checkpoint {args.model_path} (extra={extra})")
+    # forward-only modes never read optimizer state: skip allocating AdamW
+    # moments (2x param bytes of HBM) and skip the exact-resume re-load
+    is_train_mode = not (args.eval or args.predict or args.emb or args.serve
+                         or args.parity_check)
     params, buffers, opt_state = engine.init_state(
-        rng_key, params=params, buffers=buffers
+        rng_key, params=params, buffers=buffers, with_opt=is_train_mode
     )
-    if resume_opt is not None:
+    resume_best = None
+    if resume_opt is not None and is_train_mode:
         from scl_deepfake_audio_detection_tpu.parallel import shard_params
 
-        params, b2, opt_state, _, rng_key, _ = ckpt.load_train_state(
+        params, b2, opt_state, _, rng_key, resume_best = ckpt.load_train_state(
             resume_opt, opt_state
         )
         params = shard_params(params, engine.mesh)
         buffers = shard_params(b2, engine.mesh) if b2 else buffers
         if args.start_epoch == 0 and resume_epoch:
             train_cfg.start_epoch = resume_epoch
-            print(f"resuming full train state at epoch {resume_epoch}")
+            print(f"resuming full train state at epoch {resume_epoch} "
+                  f"(best so far {resume_best:.4f})")
 
     desc = DATASETS.get(cfg.data.name)
 
@@ -619,27 +640,74 @@ def main(argv=None) -> int:
                 print("--calibrate expects 'a,b'", file=sys.stderr)
                 return 2
 
-        def score_one(path: str) -> float:
-            wav = pad_eval(load_audio(path), args.padding_type, cut)
-            lp = engine.score_step(
-                params, buffers, jax.numpy.asarray(wav[None].astype("float32"))
-            )
-            raw = float(lp[0, 1])  # bonafide log-prob (reference score col)
-            return cal[0] * raw + cal[1] if cal else raw
+        import queue as _queue
+        import threading as _threading
+
+        import numpy as _np
+
+        sb = max(int(args.serve_batch), 1)
+
+        def score_group(group):
+            """Score up to ``sb`` request lines as ONE [sb, cut] batch.
+
+            Pending requests batch together (a batch-1 forward leaves most
+            of the chip idle under load); decode failures reply per line
+            while their zero row keeps the single compiled shape."""
+            keys, rows, errs = [], [], []
+            for line in group:
+                key, _, path = line.rpartition("\t")
+                keys.append(key or path)
+                try:
+                    rows.append(
+                        pad_eval(load_audio(path), args.padding_type, cut)
+                    )
+                    errs.append(None)
+                except Exception as e:
+                    rows.append(_np.zeros(cut, _np.float32))
+                    errs.append(e)
+            batch = _np.zeros((sb, cut), _np.float32)
+            batch[: len(rows)] = _np.stack(rows)
+            lp = engine.score_step(params, buffers, jax.numpy.asarray(batch))
+            for i, key in enumerate(keys):
+                if errs[i] is not None:
+                    print(f"{key}\tERROR {errs[i]}", flush=True)
+                    continue
+                raw = float(lp[i, 1])  # bonafide log-prob (reference col)
+                out = cal[0] * raw + cal[1] if cal else raw
+                print(f"{key}\t{out:.6f}", flush=True)
 
         print("serve: one '<wav-path>' or '<id>\\t<wav-path>' per line; "
               "replies '<id-or-path>\\t<score>' (first reply compiles, "
               "~20-40s; warm after)", file=sys.stderr)
-        for line in sys.stdin:
-            line = line.strip()
-            if not line:
-                continue
-            key, _, path = line.rpartition("\t")
-            key = key or path
-            try:
-                print(f"{key}\t{score_one(path):.6f}", flush=True)
-            except Exception as e:
-                print(f"{key}\tERROR {e}", flush=True)
+
+        # a reader thread feeds a queue so pending requests group into one
+        # batch without platform-specific non-blocking-stdin tricks
+        q: "_queue.Queue" = _queue.Queue()
+
+        def _reader():
+            for line in sys.stdin:
+                q.put(line)
+            q.put(None)
+
+        _threading.Thread(target=_reader, daemon=True).start()
+        eof = False
+        while not eof:
+            item = q.get()
+            if item is None:
+                break
+            group = [item.strip()] if item.strip() else []
+            while len(group) < sb:
+                try:
+                    nxt = q.get_nowait()
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    eof = True
+                    break
+                if nxt.strip():
+                    group.append(nxt.strip())
+            if group:
+                score_group(group)
         return 0
 
     # --- eval/scoring mode ----------------------------------------------------
@@ -740,6 +808,24 @@ def main(argv=None) -> int:
             DeviceViewComposer,
             build_banks,
         )
+
+        # the device composer implements exactly the conf-3 anchor recipe
+        # (RawBoost12 + background_noise + reverb as one jit program);
+        # accepting any other method list would SILENTLY train a different
+        # augmentation distribution than the config requests
+        def _canon(m: str) -> str:
+            return m.replace("_wrapper", "")
+
+        want = {"RawBoost12", "background_noise", "reverb"}
+        got = {_canon(m) for m in spec.augmentation_methods}
+        if got != want:
+            print(
+                f"--device_aug supports the conf-3 recipe {sorted(want)} "
+                f"only; this config requests {sorted(got)} — run without "
+                "--device_aug (host augmentation covers every method)",
+                file=sys.stderr,
+            )
+            return 2
         from scl_deepfake_audio_detection_tpu.data.loader import (
             DeviceAugTrainLoader,
         )
@@ -833,6 +919,7 @@ def main(argv=None) -> int:
             or (os.path.join(save_dir, "logs") if save_dir else None)
         ),
         profile_dir=args.profile_dir,
+        resume_best=resume_best,
     )
     print(f"Total training time: {time.time() - t0}s")
     return 0

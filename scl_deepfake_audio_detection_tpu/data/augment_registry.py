@@ -32,7 +32,8 @@ from scl_deepfake_audio_detection_tpu.utils.registry import AUGMENTATIONS
 
 _AUDIO_EXTS = (".wav", ".mp3", ".flac")
 
-#: (method, basename) -> first requesting source path, for collision checks
+#: (aug_dir, method, basename) -> first requesting source path; collisions
+#: only matter within ONE cache tree (different aug_dirs never share files)
 _CACHE_SOURCES: dict = {}
 
 
@@ -99,7 +100,9 @@ def _cached(method: str, int16_scale: bool = False):
             # source files sharing a basename (e.g. spoof_train/X.wav and
             # spoof_dev/X.wav) would silently read each other's cached
             # audio — detect within-run and fail loudly instead
-            prev = _CACHE_SOURCES.setdefault((method, base), str(utt_id))
+            prev = _CACHE_SOURCES.setdefault(
+                (os.path.abspath(res.aug_dir), method, base), str(utt_id)
+            )
             if prev != str(utt_id):
                 raise ValueError(
                     f"offline aug cache collision: {method}/{base} requested "

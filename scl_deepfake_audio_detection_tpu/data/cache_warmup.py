@@ -128,7 +128,7 @@ def warm_aug_cache(
         try:
             wav = load_audio(path, res.sample_rate)
             rng = np.random.default_rng(np.random.SeedSequence([seed, job_idx]))
-            fn(wav, rng, res, utt_id=os.path.basename(path))
+            fn(wav, rng, res, utt_id=path)  # full path: collision guard
             return "written"
         except Exception as e:  # noqa: BLE001 — a bad file must not kill the pool
             if verbose:

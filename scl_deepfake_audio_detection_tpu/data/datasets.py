@@ -156,8 +156,11 @@ class SCLViewBatchBuilder:
 
     def _augment(self, method: str, wav: np.ndarray, rng, utt_path: str) -> np.ndarray:
         fn = AUGMENTATIONS.get(method)
+        # pass the FULL path: the registry keys the cache by basename itself
+        # and needs the full path to detect basename collisions across
+        # source dirs (pre-stripping it here made that guard vacuous)
         return np.asarray(
-            fn(wav, rng, self.res, utt_id=os.path.basename(utt_path)), np.float32
+            fn(wav, rng, self.res, utt_id=utt_path), np.float32
         )
 
     # ----------------------------------------------------------- composition

@@ -322,8 +322,17 @@ class DeviceViewComposer:
         if spoofs is None:
             spoofs = np.zeros((g, 0, anchors.shape[1]), np.float32)
         n_rows = g * (1 + vocoded.shape[1] + reals.shape[1] + spoofs.shape[1])
-        idx = self.host_rng.integers(self.chain_pool.shape[0], size=n_rows)
-        chains = self.chain_pool[jnp.asarray(idx)]
+        # chain selection derives from the caller's per-batch KEY, not a
+        # stateful host rng: a shared mutable rng made every dev pass see
+        # different RawBoost chains (however many train batches had advanced
+        # it), so validation metrics rode augmentation noise — the epoch=-1
+        # dev key now pins identical dev chains every epoch and across
+        # resumes.  host_rng is only used to build the chain pool once.
+        idx_key = jax.random.fold_in(key, 0x5C1C)  # distinct from the
+        idx = jax.random.randint(                  # split(key, 4) streams
+            idx_key, (n_rows,), 0, self.chain_pool.shape[0]
+        )
+        chains = self.chain_pool[idx]
         return compose_views(
             jnp.asarray(anchors), jnp.asarray(reals), jnp.asarray(vocoded),
             jnp.asarray(spoofs), self.noise_bank, self.rir_bank, chains, key,

@@ -90,7 +90,21 @@ class TrainLoader:
             order = order[: len(order) - len(order) % self.groups]
         return order
 
+    # ---- per-loader hooks: which builder method, how items -> one batch ----
+    def _build_one(self, i: int, epoch: int):
+        return self.builder.build(int(i), epoch)
+
+    def _assemble(self, items) -> Dict:
+        utts = [u for u, _, _ in items]
+        wav = np.stack([w for _, w, _ in items])
+        labels = np.stack([l for _, _, l in items])
+        return {"wav": wav, "labels": labels, "utts": utts}
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        """One concurrency implementation for every train-loader flavor:
+        subclasses override only ``_build_one``/``_assemble`` — the
+        producer/queue/sentinel/early-exit machinery (which has needed
+        dedicated shutdown fixes) lives in exactly one place."""
         order = self._epoch_order(epoch)
 
         steps = [order[i : i + self.groups] for i in range(0, len(order), self.groups)]
@@ -106,16 +120,9 @@ class TrainLoader:
                         if stop.is_set():
                             return
                         items = list(
-                            pool.map(lambda i: self.builder.build(int(i), epoch), step_idx)
+                            pool.map(lambda i: self._build_one(i, epoch), step_idx)
                         )
-                        utts = [u for u, _, _ in items]
-                        wav = np.stack([w for _, w, _ in items])
-                        labels = np.stack([l for _, _, l in items])
-                        if not _put_or_stop(
-                            out_q,
-                            {"wav": wav, "labels": labels, "utts": utts},
-                            stop,
-                        ):
+                        if not _put_or_stop(out_q, self._assemble(items), stop):
                             return
                 _put_or_stop(out_q, None, stop)
             except BaseException as e:  # surface worker errors to the consumer
@@ -162,49 +169,17 @@ class DeviceAugTrainLoader(TrainLoader):
             return pcm16_encode(x)
         return x
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
-        order = self._epoch_order(epoch)
+    def _build_one(self, i: int, epoch: int):
+        return self.builder.build_raw(int(i), epoch)
 
-        steps = [order[i : i + self.groups] for i in range(0, len(order), self.groups)]
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for step_idx in steps:
-                        if stop.is_set():
-                            return
-                        items = list(pool.map(
-                            lambda i: self.builder.build_raw(int(i), epoch), step_idx
-                        ))
-                        batch = {
-                            "utts": [d["utt"] for d in items],
-                            "anchors": self._wire(np.stack([d["anchor"] for d in items])),
-                            "reals": self._wire(np.stack([d["reals"] for d in items])),
-                            "vocoded": self._wire(np.stack([d["vocoded"] for d in items])),
-                            "spoofs": self._wire(np.stack([d["spoofs"] for d in items])),
-                        }
-                        if not _put_or_stop(out_q, batch, stop):
-                            return
-                _put_or_stop(out_q, None, stop)
-            except BaseException as e:
-                _put_or_stop(out_q, e, stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+    def _assemble(self, items) -> Dict:
+        return {
+            "utts": [d["utt"] for d in items],
+            "anchors": self._wire(np.stack([d["anchor"] for d in items])),
+            "reals": self._wire(np.stack([d["reals"] for d in items])),
+            "vocoded": self._wire(np.stack([d["vocoded"] for d in items])),
+            "spoofs": self._wire(np.stack([d["spoofs"] for d in items])),
+        }
 
 
 class EvalLoader:

@@ -106,10 +106,15 @@ def _eval_step(params, buffers, batch, *, model, loss_scope):
 
 
 def _score_step(params, buffers, wav, *, model):
+    from scl_deepfake_audio_detection_tpu.models.base import eval_scores
     from scl_deepfake_audio_detection_tpu.ops.layers import dewire_pcm16
 
     wav = dewire_pcm16(wav)  # PCM16 wire format (EvalLoader wire_dtype)
-    return model.apply(params, wav, train=False, buffers=buffers).log_probs
+    out = model.apply(params, wav, train=False, buffers=buffers)
+    # per-model score columns: log-probs for NLL heads, RAW logits for the
+    # aasist/resnet heads (the reference writes their out_layer output
+    # directly — log_softmax here would re-rank scores vs the reference)
+    return eval_scores(model, out)
 
 
 class Engine:
@@ -143,9 +148,13 @@ class Engine:
         self.score_step = jax.jit(functools.partial(_score_step, model=model))
 
     # ----------------------------------------------------------- state setup
-    def init_state(self, rng_key, params=None, buffers=None):
+    def init_state(self, rng_key, params=None, buffers=None, with_opt=True):
         """-> (params, buffers, opt_state). ``buffers`` is the BN running-stat
-        pytree ({} for stateless models) — replicated across the mesh."""
+        pytree ({} for stateless models) — replicated across the mesh.
+
+        ``with_opt=False`` skips optimizer-state creation (opt_state None):
+        forward-only modes (eval/serve/parity) would otherwise allocate
+        AdamW moments — 2x param bytes of HBM — they never read."""
         from scl_deepfake_audio_detection_tpu.models.base import model_buffers
 
         # one compiled program for the whole init: eager init dispatches one
@@ -155,6 +164,8 @@ class Engine:
         params = shard_params(params, self.mesh)
         buffers = buffers if buffers is not None else model_buffers(self.model)
         buffers = shard_params(buffers, self.mesh)
+        if not with_opt:
+            return params, buffers, None
         opt_state = self.optimizer.init(params)
         if getattr(self.cfg, "zero1", False):
             from scl_deepfake_audio_detection_tpu.parallel.mesh import (
@@ -226,6 +237,7 @@ class Engine:
         log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
         tensorboard_dir: Optional[str] = None,
         profile_dir: Optional[str] = None,
+        resume_best: Optional[float] = None,
     ):
         """Full training run with per-epoch cyclic LR, early stop on dev
         accuracy, best-checkpoint saving, JSONL metrics, optional tensorboard
@@ -239,6 +251,11 @@ class Engine:
 
         cfg = self.cfg
         stopper = EarlyStop()
+        if resume_best is not None and resume_best > stopper.best:
+            # restore the checkpoint's best-accuracy watermark so a resumed
+            # run doesn't crown spurious 'best' epochs below the real best
+            # (the patience counter is not persisted; it restarts fresh)
+            stopper.best = float(resume_best)
         ckpt_every = max(int(getattr(cfg, "ckpt_every", 1)), 1)
         writer = ckpt.AsyncWriter() if getattr(cfg, "async_ckpt", True) else None
         last_epoch = cfg.start_epoch + cfg.num_epochs - 1

@@ -161,13 +161,24 @@ def test_cli_train_eval_analyze(mini_db, mini_config, tmp_path):
 
 
 def test_cli_train_with_device_aug(mini_db, mini_config, tmp_path):
-    """--device_aug: decode-only host loader + on-chip view composition."""
+    """--device_aug: decode-only host loader + on-chip view composition.
+
+    The device composer implements exactly the conf-3 recipe, so this test
+    uses a 3-method config (the CLI now REJECTS other method lists instead
+    of silently training the wrong distribution)."""
     from scl_deepfake_audio_detection_tpu.cli import main
 
     root, utts = mini_db
+    cfg3 = tmp_path / "conf3_recipe.yaml"
+    cfg3.write_text(
+        open(mini_config).read().replace(
+            'augmentation_methods: ["RawBoost12", "reverb_wrapper"]',
+            'augmentation_methods: ["RawBoost12", "background_noise", "reverb"]',
+        )
+    )
     out_dir = str(tmp_path / "out_dev")
     rc = main([
-        "--config", mini_config,
+        "--config", str(cfg3),
         "--database_path", str(root) + "/",
         "--batch_size", "2",
         "--num_epochs", "1",
@@ -350,6 +361,25 @@ def test_cli_serve_batch_matches_batch1(tmp_path, monkeypatch):
         paths.append(p)
     lines = paths[:2] + ["bad\t/nope.wav"] + paths[2:]
 
+    # record every batch shape entering the jitted score step so the test
+    # FAILS (not passes vacuously) if batching silently regresses to batch-1
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+
+    seen_rows = []
+    orig_init = Engine.__init__
+
+    def spying_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        inner = self.score_step
+
+        def spy(params, buffers, wav):
+            seen_rows.append(int(wav.shape[0]))
+            return inner(params, buffers, wav)
+
+        self.score_step = spy
+
+    monkeypatch.setattr(Engine, "__init__", spying_init)
+
     def run(extra):
         import sys as _sys
 
@@ -362,7 +392,14 @@ def test_cli_serve_batch_matches_batch1(tmp_path, monkeypatch):
         return [l.split("\t") for l in out.getvalue().strip().splitlines()]
 
     r1 = run([])
+    rows_b1 = list(seen_rows)
+    seen_rows.clear()
     r4 = run(["--serve_batch", "4"])
+    rows_b4 = list(seen_rows)
+    # batch-1 path: one [1, cut] forward per request; batched path: all 6
+    # pending requests grouped into ceil(6/4)=2 fixed [4, cut] forwards
+    assert rows_b1 == [1] * len(lines)
+    assert rows_b4 == [4, 4]
     assert [r[0] for r in r1] == [r[0] for r in r4]
     for a, b in zip(r1, r4):
         if a[1].startswith("ERROR"):

@@ -119,3 +119,29 @@ def test_reference_shell_invocations_parse(cmdline):
         assert args.padding_type == "repeat"
     if "--eval " in cmdline:
         assert args.eval and args.eval_output == "scores.txt"
+
+
+def test_device_aug_rejects_unsupported_method_sets(tmp_path):
+    """--device_aug implements the conf-3 recipe only; any other
+    augmentation_methods list must error instead of silently training a
+    different distribution."""
+    import yaml
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    cfg = {"model": {"name": "wav2vec2_linear_nll"},
+           "data": {"name": "asvspoof_2019_augall_5",
+                    "kwargs": {"augmentation_methods":
+                               ["RawBoost12", "background_noise", "reverb",
+                                "speed", "pitch"],
+                               "trim_length": 8000}}}
+    p = tmp_path / "c.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    db = tmp_path / "db"
+    (db / "bonafide").mkdir(parents=True)
+    (db / "scp").mkdir()
+    (db / "scp" / "train_bonafide.lst").write_text("u0.wav\n")
+    (db / "scp" / "dev_bonafide.lst").write_text("u0.wav\n")
+    rc = main(["--config", str(p), "--database_path", str(db),
+               "--device_aug", "--ssl_preset", "tiny", "--num_epochs", "1"])
+    assert rc == 2

@@ -425,3 +425,27 @@ def test_resume_restores_zero1_opt_sharding(tmp_path):
     _, _, restored, epoch, _, _ = ckpt.load_train_state(path, opt_template)
     assert epoch == 3
     assert shardings(restored) == want
+
+
+def test_fit_restores_resume_best(tmp_path):
+    """A resumed run must not crown 'best' epochs below the checkpoint's
+    saved best-accuracy watermark (EarlyStop restarted at init_best=90
+    otherwise, so any resumed epoch above 90 spuriously best-saved)."""
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    eng = Engine(model, TrainConfig(max_lr=1e-4, num_epochs=1))
+    params, buffers, opt_state = eng.init_state(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    batch = {"wav": rng.normal(size=(1, 4, 1600)).astype(np.float32),
+             "labels": np.tile([1.0, 1.0, 0.0, 0.0], (1, 1)).astype(np.float32)}
+    save_dir = str(tmp_path / "out")
+    # resume_best=99.9: a random model's dev accuracy can never beat it, so
+    # NO epoch_*.ckpt best-saves may appear (only last.ckpt)
+    eng.fit(params, buffers, opt_state,
+            train_batches=lambda: iter([batch]),
+            dev_batches=lambda: iter([batch]),
+            rng_key=jax.random.key(1), save_dir=save_dir, resume_best=99.9)
+    import os
+
+    assert not [f for f in os.listdir(save_dir) if f.startswith("epoch_")]
+    assert "last.ckpt" in os.listdir(save_dir)

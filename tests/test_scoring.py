@@ -140,3 +140,42 @@ def test_int16_wire_format_lossless(tmp_path):
         return np.concatenate(outs)
 
     np.testing.assert_array_equal(run("float32"), run("int16"))
+
+
+def test_score_step_routes_per_model_eval_scores():
+    """The jitted score step must write each model's REFERENCE score
+    columns: log-probs for NLL heads, RAW logits for aasist/resnet (whose
+    reference wrappers emit the out_layer output directly — log_softmax
+    would re-rank scores relative to the reference pipeline)."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.models.aasist import XLSRAasist
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train.engine import Engine
+    from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
+
+    import jax.numpy as jnp
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3200)) * 0.2, jnp.float32
+    )
+
+    aasist = XLSRAasist(ssl=XLSRConfig.tiny())
+    p = aasist.init(jax.random.key(0))
+    eng = Engine(aasist, TrainConfig())
+    params, buffers, _ = eng.init_state(jax.random.key(0), params=p,
+                                        with_opt=False)
+    scores = np.asarray(eng.score_step(params, buffers, wav))
+    out = aasist.apply(params, wav, train=False, buffers=buffers)
+    np.testing.assert_allclose(scores, np.asarray(out.logits), atol=1e-5)
+    # raw logits do NOT behave like log-probs
+    assert not np.allclose(np.exp(scores).sum(-1), 1.0, atol=1e-3)
+
+    lin = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    p = lin.init(jax.random.key(1))
+    eng = Engine(lin, TrainConfig())
+    params, buffers, _ = eng.init_state(jax.random.key(1), params=p,
+                                        with_opt=False)
+    scores = np.asarray(eng.score_step(params, buffers, wav))
+    np.testing.assert_allclose(np.exp(scores).sum(-1), 1.0, atol=1e-4)
