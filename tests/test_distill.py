@@ -137,16 +137,28 @@ def test_distill_config_guards(engines):
 
 
 def test_distill_accepts_view_batches(engines):
-    """[G, V, T] SCL view batches flatten exactly like the main engine."""
+    """[G, V, T] SCL view batches must produce IDENTICAL metrics to the
+    manually flattened [G*V, T] batch — a transposed flatten that mislabels
+    views would still give finite loss, so equality is the real pin."""
     teacher, student = engines
-    eng = DistillEngine(teacher, student, DistillConfig(alpha=0.5))
-    t_params = jax.jit(teacher.init)(jax.random.key(0))
-    s_params, opt, t_params, t_buf = eng.init_state(jax.random.key(1), t_params)
     rng = np.random.default_rng(2)
-    batch = {
-        "wav": rng.normal(size=(2, 4, 1600)).astype(np.float32),
-        "labels": np.tile([1.0, 1.0, 0.0, 0.0], (2, 1)).astype(np.float32),
-    }
-    _, _, m = eng.run_epoch(s_params, opt, t_params, [batch],
-                            jax.random.key(0), teacher_buffers=t_buf)
-    assert np.isfinite(m["loss"]) and 0.0 <= m["accuracy"] <= 1.0
+    wav3 = rng.normal(size=(2, 4, 1600)).astype(np.float32)
+    labels3 = np.tile([1.0, 1.0, 0.0, 0.0], (2, 1)).astype(np.float32)
+
+    def one_epoch(batch):
+        eng = DistillEngine(teacher, student, DistillConfig(alpha=0.5))
+        t_params = jax.jit(teacher.init)(jax.random.key(0))
+        s_params, opt, t_params, t_buf = eng.init_state(jax.random.key(1),
+                                                        t_params)
+        _, _, m = eng.run_epoch(s_params, opt, t_params, [batch],
+                                jax.random.key(0), teacher_buffers=t_buf)
+        return m
+
+    m3 = one_epoch({"wav": wav3, "labels": labels3})
+    m2 = one_epoch({"wav": wav3.reshape(-1, 1600),
+                    "labels": labels3.reshape(-1)})
+    assert np.isfinite(m3["loss"]) and 0.0 <= m3["accuracy"] <= 1.0
+    # fp32 reduction-order drift between the on-device reshape and the
+    # host pre-flatten is ~1e-6 rel; a wrong flatten changes the loss at O(1)
+    for k in m3:
+        assert m3[k] == pytest.approx(m2[k], rel=1e-4, abs=1e-5), k

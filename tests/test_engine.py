@@ -438,9 +438,12 @@ def test_fit_restores_resume_best(tmp_path):
     rng = np.random.default_rng(0)
     batch = {"wav": rng.normal(size=(1, 4, 1600)).astype(np.float32),
              "labels": np.tile([1.0, 1.0, 0.0, 0.0], (1, 1)).astype(np.float32)}
+    # pin the dev accuracy BETWEEN EarlyStop's fresh init_best (90) and the
+    # checkpoint watermark (99.9): without the resume_best restoration the
+    # run WOULD crown a spurious best here, so this test fails if the guard
+    # is removed (a fixture whose accuracy can't exceed 90 can't tell)
+    eng.run_validation = lambda *a, **kw: {"accuracy": 0.95, "loss": 1.0}
     save_dir = str(tmp_path / "out")
-    # resume_best=99.9: a random model's dev accuracy can never beat it, so
-    # NO epoch_*.ckpt best-saves may appear (only last.ckpt)
     eng.fit(params, buffers, opt_state,
             train_batches=lambda: iter([batch]),
             dev_batches=lambda: iter([batch]),
@@ -449,3 +452,13 @@ def test_fit_restores_resume_best(tmp_path):
 
     assert not [f for f in os.listdir(save_dir) if f.startswith("epoch_")]
     assert "last.ckpt" in os.listdir(save_dir)
+    # sanity of the discrimination: the same run WITHOUT resume_best must
+    # best-save at 95% (> init_best 90)
+    eng2 = Engine(model, TrainConfig(max_lr=1e-4, num_epochs=1))
+    eng2.run_validation = lambda *a, **kw: {"accuracy": 0.95, "loss": 1.0}
+    p2, b2, o2 = eng2.init_state(jax.random.key(0))
+    save2 = str(tmp_path / "out2")
+    eng2.fit(p2, b2, o2, train_batches=lambda: iter([batch]),
+             dev_batches=lambda: iter([batch]),
+             rng_key=jax.random.key(1), save_dir=save2)
+    assert [f for f in os.listdir(save2) if f.startswith("epoch_")]

@@ -272,8 +272,20 @@ def test_conv_relu_norm_dropout_masks_differ_per_layer():
     y3 = flows.conv_relu_norm(p, x, mask, dropout_rate=0.5, rng=jax.random.key(9))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))  # keyed
     assert float(jnp.max(jnp.abs(y1 - y3))) > 0.0  # key-dependent
-    # per-layer independence: fold_in(rng, i) must differ across layers
-    k = jax.random.key(0)
-    m0 = jax.random.bernoulli(jax.random.fold_in(k, 0), 0.5, (1, 8, 4))
-    m1 = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.5, (1, 8, 4))
-    assert bool(jnp.any(m0 != m1))
+    # pin the IMPLEMENTATION's per-layer masks: recompute the stack manually
+    # with fold_in(rng, i) per depth and require exact equality — a version
+    # that hoisted one shared mask out of the loop would diverge here
+    from scl_deepfake_audio_detection_tpu.ops.layers import conv1d, layer_norm
+
+    rngk = jax.random.key(0)
+    y_ref = x
+    for i, (conv, norm) in enumerate(zip(p["convs"], p["norms"])):
+        kk = conv["w"].shape[0]
+        y_ref = conv1d(conv, y_ref * mask, padding=[(kk // 2, kk // 2)])
+        y_ref = jax.nn.relu(flows.layer_norm(norm, y_ref)) if hasattr(
+            flows, "layer_norm") else jax.nn.relu(layer_norm(norm, y_ref))
+        keep = jax.random.bernoulli(jax.random.fold_in(rngk, i), 0.5,
+                                    y_ref.shape)
+        y_ref = jnp.where(keep, y_ref / 0.5, 0.0)
+    y_ref = (x + conv1d(p["proj"], y_ref)) * mask
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref), atol=1e-6)

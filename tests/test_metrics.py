@@ -133,7 +133,8 @@ def test_min_tdcf_matches_bruteforce(version):
     spoof_asv = rng.normal(0.5, 1.0, 500)
 
     pfa, pmiss, pmiss_spoof, pfa_spoof = asv_error_rates(tar_asv, non_asv, spoof_asv)
-    assert pfa_spoof == pytest.approx(1.0 - pmiss_spoof)
+    # (the pfa_spoof == 1 - pmiss_spoof identity is the function's own
+    # return expression — the explicit-threshold test pins real values)
 
     want = _tdcf_bruteforce(bona, spoof, pfa, pmiss, pfa_spoof, version)
     got, thr = min_tdcf(bona, spoof, tar_asv, non_asv, spoof_asv, version=version)

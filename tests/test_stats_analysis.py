@@ -133,10 +133,15 @@ def test_tdcf_report_end_to_end(tmp_path, capsys):
     proto, scores, asv = (tmp_path / n for n in
                           ("protocol.txt", "scores.txt", "asv.txt"))
     plines, slines = [], []
-    for i in range(40):
-        label = "bonafide" if i % 2 == 0 else "spoof"
-        plines.append(f"spk u{i} - none {label}")
-        s = (1.0 if label == "bonafide" else -1.0) + rng.normal() * 0.5
+    for i in range(60):
+        if i % 2 == 0:
+            label, atk, mu = "bonafide", "-", 1.0
+        elif i % 4 == 1:
+            label, atk, mu = "spoof", "A01", -3.0   # easy attack
+        else:
+            label, atk, mu = "spoof", "A02", 0.8    # hard: overlaps bonafide
+        plines.append(f"spk u{i} - {atk} {label}")
+        s = mu + rng.normal() * 0.5
         slines.append(f"u{i} {-abs(s):.4f} {s:.4f}")
     proto.write_text("\n".join(plines) + "\n")
     scores.write_text("\n".join(slines) + "\n")
@@ -153,12 +158,21 @@ def test_tdcf_report_end_to_end(tmp_path, capsys):
         out = capsys.readouterr().out
         assert f"min t-DCF ({version}):" in out
         assert "per-attack min t-DCF" in out
-        # every per-attack value is bounded by 1 and the worst >= pooled
-        atk_vals = [float(l.split(":")[1].split("(")[0])
-                    for l in out.splitlines()
-                    if l.startswith("  ") and "min t-DCF" not in l
-                    and "(n=" in l and "%" not in l]
-        assert atk_vals and all(0.0 <= v <= 1.0 for v in atk_vals)
+        atk_vals = {}
+        for l in out.splitlines():
+            if l.startswith("  ") and "(n=" in l and "%" not in l:
+                name, rest = l.strip().split(":")
+                atk_vals[name] = float(rest.split("(")[0])
+        assert set(atk_vals) == {"A01", "A02"}
+        # discriminating pins: the hard overlapping attack must cost far
+        # more than the easy one, and the worst attack must be at least the
+        # pooled value (pooled mixes easy+hard spoofs)
+        assert atk_vals["A02"] > 5 * max(atk_vals["A01"], 1e-4)
+        pooled = float(next(l for l in out.splitlines()
+                            if l.startswith(f"min t-DCF ({version})"))
+                       .split(":")[1].split("(")[0])
+        assert max(atk_vals.values()) >= pooled - 1e-9
+        assert all(0.0 <= v <= 1.0 for v in atk_vals.values())
 
         bona, spoof = matched_scores(str(scores), str(proto), fmt="eval")
         tar_a, non_a, spoof_a = load_asv_scores(str(asv))
@@ -211,11 +225,20 @@ def test_det_curve_plot(tmp_path):
     from scl_deepfake_audio_detection_tpu.train.analysis import plot_det_curve
 
     rng = np.random.default_rng(6)
-    out = plot_det_curve(rng.normal(1, 1, 400), rng.normal(-1, 1, 600),
-                         str(tmp_path / "det.png"))
+    tar, non = rng.normal(1, 1, 400), rng.normal(-1, 1, 600)
+    out = plot_det_curve(tar, non, str(tmp_path / "det.png"))
     import os
 
     assert os.path.getsize(out) > 10_000  # a real rendered figure
+    # the score data must actually drive the figure: rendering a much worse
+    # system (overlapping classes) must change the output bytes, and the
+    # same inputs must render identically (deterministic Agg backend)
+    same = plot_det_curve(tar, non, str(tmp_path / "det_same.png"))
+    worse = plot_det_curve(rng.normal(0.1, 1, 400), rng.normal(0, 1, 600),
+                           str(tmp_path / "det_worse.png"))
+    read = lambda f: open(f, "rb").read()
+    assert read(out) == read(same)
+    assert read(out) != read(worse)
 
 
 def test_analyze_json_is_one_object_with_all_extras(tmp_path, capsys):

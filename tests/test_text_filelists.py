@@ -192,8 +192,6 @@ def test_probe_capture_and_dump(tmp_path):
 
     x = np.arange(6, dtype=np.float32).reshape(2, 3)
     assert probe.to_host(jnp.asarray(x)).tolist() == x.tolist()
-    torch = pytest.importorskip("torch")
-    assert probe.to_host(torch.tensor(x, requires_grad=True)).tolist() == x.tolist()
 
     out = probe.quick_write(x, str(tmp_path / "d" / "t.bin"))
     np.testing.assert_array_equal(read_raw_mat(out, 3), x)
@@ -211,6 +209,11 @@ def test_probe_capture_and_dump(tmp_path):
     np.testing.assert_array_equal(p.get("a"), x)
     p.clear()
     assert len(p) == 0
+
+    # torch conversion LAST: an importorskip mid-test would silently skip
+    # the torch-independent assertions above on torch-less environments
+    torch = pytest.importorskip("torch")
+    assert probe.to_host(torch.tensor(x, requires_grad=True)).tolist() == x.tolist()
 
 
 def test_param_moments():

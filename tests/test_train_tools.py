@@ -274,3 +274,19 @@ def test_al_state_save_is_atomic_replace(tmp_path):
     # no stray tmp files left behind
     import os
     assert os.listdir(tmp_path) == ["al.json"]
+    # THE atomicity property: a crash mid-write must leave the previous
+    # cache intact (a plain open(path,'w') would truncate it first)
+    import json as _json
+
+    real_dump = _json.dump
+
+    def crashing_dump(*a, **kw):
+        raise KeyboardInterrupt("simulated kill mid-write")
+
+    _json.dump = crashing_dump
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            ALState([1], [2], []).save(path)
+    finally:
+        _json.dump = real_dump
+    assert ALState.load(path).train_idx == [9]  # old state survived
