@@ -177,6 +177,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fit affine LLR calibration (llr = a*score + b) on a "
                         "dev score file joined with --protocol; prints a,b "
                         "and the before/after Cllr")
+    p.add_argument("--compare", type=str, default=None, metavar="A,B",
+                   help="paired-bootstrap comparison of two score files on "
+                        "the same --protocol: EER difference, 95%% CI, and "
+                        "a two-sided bootstrap p-value")
     p.add_argument("--fuse", type=str, default=None, metavar="S1,S2[,..]",
                    help="fit logistic score fusion over K dev score files "
                         "(labels from --protocol); prints weights and the "
@@ -251,6 +255,36 @@ def _init_params(args, model, rng_key):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # --- paired system comparison (no model needed) ---------------------------
+    if args.compare:
+        from scl_deepfake_audio_detection_tpu.train.analysis import (
+            paired_system_scores,
+        )
+        from scl_deepfake_audio_detection_tpu.train.metrics import (
+            compute_eer,
+            eer_diff_bootstrap,
+        )
+
+        if not args.protocol:
+            print("--compare requires --protocol", file=sys.stderr)
+            return 2
+        pa, pb = (x.strip() for x in args.compare.split(",", 1))
+        n_boot = args.bootstrap_ci or 1000
+        ta, na, tb, nb_ = paired_system_scores(pa, pb, args.protocol,
+                                               fmt=args.score_format,
+                                               subset=args.subset)
+        ea, _ = compute_eer(ta, na)
+        eb, _ = compute_eer(tb, nb_)
+        d, lo, hi, pv = eer_diff_bootstrap(ta, na, tb, nb_, n_boot=n_boot)
+        verdict = ("A better" if hi < 0 else
+                   "B better" if lo > 0 else "not significant")
+        print(f"A {pa}: EER {100*ea:.4f}%")
+        print(f"B {pb}: EER {100*eb:.4f}%")
+        print(f"paired EER difference A-B: {100*d:+.4f}% "
+              f"(95% CI [{100*lo:+.4f}%, {100*hi:+.4f}%], "
+              f"p={pv:.4f}, {n_boot} paired resamples) -> {verdict}")
+        return 0
 
     # --- score fusion (no model needed) --------------------------------------
     if args.fuse:

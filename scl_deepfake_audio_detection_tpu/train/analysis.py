@@ -421,3 +421,27 @@ def plot_det_curve(
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def paired_system_scores(
+    path_a: str, path_b: str, protocol_path: str, fmt: str = "auto",
+    subset: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Trial-ALIGNED (tar_a, non_a, tar_b, non_b) for two systems scored on
+    the same protocol (the input contract of ``metrics.eer_diff_bootstrap``);
+    trials missing from either system are dropped."""
+    utts, stack = stack_scores([path_a, path_b], fmt=fmt)
+    trials = parse_protocol(protocol_path)
+    if subset is not None:
+        trials = [t for t in trials if t.subset == subset]
+    label_by_key = {
+        os.path.basename(t.utt).split(".")[0]: t.label
+        for t in trials if t.label is not None
+    }
+    keys = [os.path.basename(u).split(".")[0] for u in utts]
+    keep = np.asarray([i for i, k in enumerate(keys) if k in label_by_key])
+    if keep.size == 0:
+        raise ValueError("no trials matched both score files and the protocol")
+    y = np.asarray([label_by_key[keys[i]] for i in keep])
+    X = stack[keep]
+    return X[y == 1, 0], X[y == 0, 0], X[y == 1, 1], X[y == 0, 1]

@@ -232,3 +232,47 @@ def eer_bootstrap_ci(
         eers[i], _ = compute_eer(t, n)
     lo, hi = np.quantile(eers, [alpha / 2.0, 1.0 - alpha / 2.0])
     return float(lo), float(hi)
+
+
+def eer_diff_bootstrap(
+    tar_a: np.ndarray,
+    non_a: np.ndarray,
+    tar_b: np.ndarray,
+    non_b: np.ndarray,
+    n_boot: int = 1000,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> Tuple[float, float, float, float]:
+    """PAIRED bootstrap comparison of two systems scored on the SAME trials.
+
+    Resamples trial indices once per replicate and applies them to both
+    systems (the correct treatment for correlated scores on identical
+    audio); an unpaired comparison wildly overstates the uncertainty of the
+    difference.  Inputs must be trial-aligned: ``tar_a[i]`` and ``tar_b[i]``
+    score the same utterance.
+
+    Returns (delta, lo, hi, p): the point EER difference A - B, its
+    percentile (1 - alpha) interval, and the two-sided bootstrap p-value of
+    delta != 0 (fraction of replicates crossing zero, doubled and clipped).
+    """
+    tar_a, tar_b = (np.asarray(x, np.float64).ravel() for x in (tar_a, tar_b))
+    non_a, non_b = (np.asarray(x, np.float64).ravel() for x in (non_a, non_b))
+    if tar_a.shape != tar_b.shape or non_a.shape != non_b.shape:
+        raise ValueError("paired comparison needs trial-aligned score arrays")
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    eer_a, _ = compute_eer(tar_a, non_a)
+    eer_b, _ = compute_eer(tar_b, non_b)
+    delta = eer_a - eer_b
+    rng = np.random.default_rng(seed)
+    diffs = np.empty(n_boot)
+    for i in range(n_boot):
+        ti = rng.integers(0, tar_a.size, tar_a.size)
+        ni = rng.integers(0, non_a.size, non_a.size)
+        ea, _ = compute_eer(tar_a[ti], non_a[ni])
+        eb, _ = compute_eer(tar_b[ti], non_b[ni])
+        diffs[i] = ea - eb
+    lo, hi = np.quantile(diffs, [alpha / 2.0, 1.0 - alpha / 2.0])
+    # two-sided sign test on the bootstrap distribution
+    p = 2.0 * min(np.mean(diffs >= 0.0), np.mean(diffs <= 0.0))
+    return float(delta), float(lo), float(hi), float(min(p, 1.0))

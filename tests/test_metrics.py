@@ -230,3 +230,25 @@ def test_eer_bootstrap_ci_brackets_point_estimate():
     assert (lo, hi) != eer_bootstrap_ci(tar, non, n_boot=200, seed=2)
     with pytest.raises(ValueError, match="n_boot"):
         eer_bootstrap_ci(tar, non, n_boot=1)
+
+
+def test_eer_diff_bootstrap_paired():
+    from scl_deepfake_audio_detection_tpu.train.metrics import (
+        eer_diff_bootstrap,
+    )
+
+    rng = np.random.default_rng(3)
+    # system A and B score the SAME trials; B is strictly better
+    base_t, base_n = rng.normal(1.0, 1.0, 500), rng.normal(-1.0, 1.0, 700)
+    ta, na = base_t + rng.normal(0, 0.8, 500), base_n + rng.normal(0, 0.8, 700)
+    tb, nb_ = base_t * 1.5, base_n * 1.5  # wider margin, same trials
+    d, lo, hi, p = eer_diff_bootstrap(ta, na, tb, nb_, n_boot=200, seed=1)
+    assert d > 0 and lo > 0  # A worse, significantly
+    assert p < 0.05
+    # identical systems: delta 0, CI straddles 0, p high
+    d0, lo0, hi0, p0 = eer_diff_bootstrap(ta, na, ta, na, n_boot=200, seed=1)
+    assert d0 == 0.0 and lo0 <= 0.0 <= hi0 and p0 > 0.5
+    # deterministic given the seed
+    assert (d, lo, hi, p) == eer_diff_bootstrap(ta, na, tb, nb_, n_boot=200, seed=1)
+    with pytest.raises(ValueError, match="aligned"):
+        eer_diff_bootstrap(ta, na, tb[:-1], nb_)

@@ -273,3 +273,28 @@ def test_analyze_json_is_one_object_with_all_extras(tmp_path, capsys):
     for key in ("eer", "cllr", "min_cllr", "min_tdcf", "det_plot"):
         assert key in obj, key
     assert obj["min_tdcf"]["version"] == "legacy"
+
+
+def test_compare_cli_paired_bootstrap(tmp_path, capsys):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(21)
+    proto = tmp_path / "p.txt"
+    plines, a_lines, b_lines = [], [], []
+    for i in range(120):
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        plines.append(f"spk u{i} - none {label}")
+        base = 1.0 if label == "bonafide" else -1.0
+        noisy = base + rng.normal() * 1.2       # weak system
+        clean = base * 2 + rng.normal() * 0.4   # strong system, same trials
+        a_lines.append(f"u{i} 0.0 {noisy:.4f}")
+        b_lines.append(f"u{i} 0.0 {clean:.4f}")
+    proto.write_text("\n".join(plines) + "\n")
+    (tmp_path / "a.txt").write_text("\n".join(a_lines) + "\n")
+    (tmp_path / "b.txt").write_text("\n".join(b_lines) + "\n")
+    rc = main(["--compare", f"{tmp_path}/a.txt,{tmp_path}/b.txt",
+               "--protocol", str(proto), "--score_format", "eval",
+               "--bootstrap_ci", "200"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "paired EER difference" in out and "B better" in out
