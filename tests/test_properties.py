@@ -173,3 +173,67 @@ def test_multiview_pad_shape_and_value_provenance(lens, length, repeat, seed):
     for i, v in enumerate(views):
         vals = set(np.unique(v).tolist()) | {0.0}
         assert set(np.unique(out[i]).tolist()) <= vals  # no invented samples
+
+
+@given(lens=st.lists(st.integers(50, 120_000), min_size=1, max_size=12),
+       batch=st.integers(1, 5),
+       multiple=st.sampled_from([0, 4000, 16000]),
+       cap=st.sampled_from([None, 64600]))
+@settings(max_examples=25, deadline=None)
+def test_bucketed_batches_cover_every_utt_once_within_cap(lens, batch,
+                                                          multiple, cap):
+    from scl_deepfake_audio_detection_tpu.train.scoring import bucketed_batches
+
+    rng = np.random.default_rng(0)
+    wavs = [rng.normal(size=n).astype(np.float32) for n in lens]
+    utts = [f"u{i}" for i in range(len(lens))]
+    seen = []
+    for b, us in bucketed_batches(wavs, utts, batch_size=batch,
+                                  bucket_multiple=multiple, max_len=cap):
+        seen += us
+        assert b.shape[0] == batch  # fixed batch shape (tail tiles)
+        if cap is not None:
+            assert b.shape[1] <= cap
+        elif multiple:
+            assert b.shape[1] % multiple == 0
+    assert sorted(seen) == sorted(utts)  # exactly once each
+
+
+@given(n=st.integers(4, 60), k=st.integers(2, 4),
+       seed=st.integers(0, 500))
+@settings(max_examples=25, deadline=None)
+def test_logistic_fusion_weights_recover_informative_system(n, k, seed):
+    """With one informative system and k-1 pure-noise systems, the fusion
+    weight on the informative one must dominate."""
+    from scl_deepfake_audio_detection_tpu.train.calibration import (
+        logistic_fusion,
+    )
+
+    rng = np.random.default_rng(seed)
+    tar_good = rng.normal(2.0, 1.0, n)
+    non_good = rng.normal(-2.0, 1.0, n)
+    tar = np.stack([tar_good] + [rng.normal(0, 1, n) for _ in range(k - 1)], 1)
+    non = np.stack([non_good] + [rng.normal(0, 1, n) for _ in range(k - 1)], 1)
+    w, _b = logistic_fusion(tar, non)
+    assert w[0] > 0
+    assert abs(w[0]) >= np.max(np.abs(w[1:])) * 0.5  # informative dominates
+
+
+@given(items=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+       block=st.integers(1, 10), seed=st.integers(0, 99))
+@settings(max_examples=25, deadline=None)
+def test_block_shuffles_are_permutations(items, block, seed):
+    from scl_deepfake_audio_detection_tpu.utils.filelists import (
+        shuffle_blocks,
+        shuffle_within_blocks,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = shuffle_within_blocks(items, block, rng)
+    b = shuffle_blocks(items, block, np.random.default_rng(seed))
+    assert sorted(a) == sorted(items)
+    assert sorted(b) == sorted(items)
+    # within-block shuffling preserves block membership
+    for s in range(0, len(items), block):
+        e = min(s + block, len(items))
+        assert sorted(a[s:e]) == sorted(items[s:e])
