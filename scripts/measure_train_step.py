@@ -3,9 +3,11 @@
 per-dispatch overhead — see CLAUDE.md / ROADMAP perf log).
 
 Usage: python scripts/measure_train_step.py [k1] [k2] [--bf16]
-       [--fast_bwd | --no_fast_bwd]
+       [--fast_bwd | --no_fast_bwd] [--remat POLICY]
 Prints ms/step for the conf-3 training shape (2 groups x 11 views x 64000
-samples, XLS-R 300M + linear head, attn_ffn remat, bf16 compute).
+samples, XLS-R 300M + linear head, bf16 compute).  Remat policy defaults
+to the production default (XLSRConfig.remat_policy — 'attn' since the
+round-2 fast-backward re-sweep); pass --remat attn_ffn/full/dots to sweep.
 k1/k2 are the two scan lengths to difference (default 3 and 9) and may be
 given in any position relative to the flags.
 """
@@ -34,19 +36,26 @@ def main():
     )
     import functools
 
-    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    remat_policy = XLSRConfig.remat_policy
+    if "--remat" in argv:
+        i = argv.index("--remat")
+        remat_policy = argv[i + 1]
+        del argv[i : i + 2]
+    positional = [a for a in argv if not a.startswith("--")]
     k1 = int(positional[0]) if len(positional) > 0 else 3
     k2 = int(positional[1]) if len(positional) > 1 else 9
-    bf16_stacks = "--bf16" in sys.argv
+    bf16_stacks = "--bf16" in argv
     # auto (None) = ON under bf16 compute; --no_fast_bwd forces the old path
-    fast_bwd = (True if "--fast_bwd" in sys.argv
-                else False if "--no_fast_bwd" in sys.argv else None)
+    fast_bwd = (True if "--fast_bwd" in argv
+                else False if "--no_fast_bwd" in argv else None)
 
     ssl = XLSRConfig.xlsr_300m(
-        compute_dtype="bfloat16", remat=True, remat_policy="attn_ffn",
+        compute_dtype="bfloat16", remat=True, remat_policy=remat_policy,
         grad_stack_dtype="bfloat16" if bf16_stacks else None,
         fast_bwd_matmuls=fast_bwd,
     )
+    print(f"remat_policy={remat_policy}")
     print(f"grad_stack_dtype={ssl.grad_stack_dtype} "
           f"fast_bwd={ssl.use_fast_bwd}")
     model = LinearNLL(ssl=ssl)
