@@ -199,6 +199,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "fixed-shape batch (the TPU serving lever — batch-1 "
                         "forwards leave most of the chip idle under load); "
                         "latency for a lone request is unchanged")
+    p.add_argument("--export_model", type=str, default=None, metavar="DIR",
+                   help="export the scoring function as a standalone AOT "
+                        "artifact (jax.export StableHLO, symbolic batch, "
+                        "cpu+tpu lowering, weights as arguments) and exit; "
+                        "deploy it with --from_export — no model code needed "
+                        "on the serving host")
+    p.add_argument("--from_export", type=str, default=None, metavar="DIR",
+                   help="--serve/--eval/--predict from an --export_model "
+                        "artifact: the serialized program + weights replace "
+                        "model construction and checkpoint loading")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
     p.add_argument("--plot_det", type=str, default=None,
@@ -564,7 +574,31 @@ def main(argv=None) -> int:
         async_ckpt=not args.sync_ckpt,
     )
 
-    model = _build_model(args, cfg)
+    # --- AOT-artifact scoring: skip model construction entirely --------------
+    scorer = None
+    if args.from_export:
+        if not (args.serve or args.eval or args.predict):
+            print("--from_export works with --serve/--eval/--predict",
+                  file=sys.stderr)
+            return 2
+        if args.emb:
+            print("--emb needs the model (export artifacts carry the score "
+                  "columns only); run --emb with --model_path instead",
+                  file=sys.stderr)
+            return 2
+        if args.model_path:
+            print("--from_export already contains the weights; drop "
+                  "--model_path", file=sys.stderr)
+            return 2
+        from scl_deepfake_audio_detection_tpu.export import load_scorer
+
+        scorer = load_scorer(args.from_export)
+        print(f"loaded export {args.from_export}: {scorer.meta['model_tag']}"
+              f", cut {scorer.cut}, platforms {scorer.meta['platforms']}, "
+              f"{scorer.meta['param_bytes']/1e6:.1f} MB weights",
+              file=sys.stderr)  # stderr: --serve replies own stdout
+
+    model = None if scorer else _build_model(args, cfg)
     mesh = None
     if args.multihost and args.eval:
         # eval is embarrassingly parallel: each host scores its slice of the
@@ -573,14 +607,15 @@ def main(argv=None) -> int:
 
         local = jax.local_devices()
         mesh = make_mesh((len(local), 1), devices=local)
-    engine = Engine(model, train_cfg, mesh=mesh)
+    engine = None if scorer else Engine(model, train_cfg, mesh=mesh)
     rng_key = jax.random.key(args.seed)
 
     # --model_path replaces every parameter wholesale, so skip the random
     # init there — jit(model.init) of the 300M preset is a full compile +
     # device init (minutes over a remote-tunneled chip) paid on every
     # checkpoint eval/serve/parity run otherwise
-    params = None if args.model_path else _init_params(args, model, rng_key)
+    params = (None if (args.model_path or scorer)
+              else _init_params(args, model, rng_key))
     buffers = None
     resume_opt = resume_epoch = None
     if args.model_path:
@@ -618,10 +653,12 @@ def main(argv=None) -> int:
     # forward-only modes never read optimizer state: skip allocating AdamW
     # moments (2x param bytes of HBM) and skip the exact-resume re-load
     is_train_mode = not (args.eval or args.predict or args.emb or args.serve
-                         or args.parity_check)
-    params, buffers, opt_state = engine.init_state(
-        rng_key, params=params, buffers=buffers, with_opt=is_train_mode
-    )
+                         or args.parity_check or args.export_model)
+    opt_state = None
+    if scorer is None:
+        params, buffers, opt_state = engine.init_state(
+            rng_key, params=params, buffers=buffers, with_opt=is_train_mode
+        )
     resume_best = None
     if resume_opt is not None and is_train_mode:
         from scl_deepfake_audio_detection_tpu.parallel import shard_params
@@ -658,14 +695,9 @@ def main(argv=None) -> int:
         print(report)
         return 0 if report.ok else 1
 
-    # --- serve mode: persistent scorer, wav paths on stdin ---------------------
-    if args.serve:
-        from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
-        from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
-        from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
-
-        params = cast_matmul_params(params, args.compute_dtype)
-        cut = 64600  # the reference eval crop; one compiled program
+    # --- AOT export mode --------------------------------------------------------
+    if args.export_model:
+        from scl_deepfake_audio_detection_tpu.export import export_scorer
 
         cal = None
         if args.calibrate:
@@ -673,6 +705,43 @@ def main(argv=None) -> int:
             if len(cal) != 2:
                 print("--calibrate expects 'a,b'", file=sys.stderr)
                 return 2
+        meta = export_scorer(
+            model, params, buffers, args.export_model,
+            compute_dtype=args.compute_dtype,
+            padding_type=args.padding_type,
+            calibration=cal,
+            model_tag=cfg.model.name,
+        )
+        print(f"exported {meta['model_tag']} -> {args.export_model} "
+              f"({meta['param_bytes']/1e6:.1f} MB weights, platforms "
+              f"{meta['platforms']}); run it with --from_export")
+        return 0
+
+    # --- serve mode: persistent scorer, wav paths on stdin ---------------------
+    if args.serve:
+        from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
+        from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
+
+        if scorer is None:
+            from scl_deepfake_audio_detection_tpu.models.base import (
+                cast_matmul_params,
+            )
+
+            params = cast_matmul_params(params, args.compute_dtype)
+            cut = 64600  # the reference eval crop; one compiled program
+        else:
+            cut = scorer.cut
+
+        cal = None
+        if args.calibrate:
+            cal = tuple(float(x) for x in args.calibrate.split(","))
+            if len(cal) != 2:
+                print("--calibrate expects 'a,b'", file=sys.stderr)
+                return 2
+        elif scorer is not None and scorer.calibration is not None:
+            cal = scorer.calibration  # baked into the artifact at export
+            print(f"serve: applying the artifact's calibration "
+                  f"a={cal[0]:.6f} b={cal[1]:.6f}", file=sys.stderr)
 
         import queue as _queue
         import threading as _threading
@@ -701,7 +770,11 @@ def main(argv=None) -> int:
                     errs.append(e)
             batch = _np.zeros((sb, cut), _np.float32)
             batch[: len(rows)] = _np.stack(rows)
-            lp = engine.score_step(params, buffers, jax.numpy.asarray(batch))
+            if scorer is not None:
+                lp = scorer.score(batch)
+            else:
+                lp = engine.score_step(params, buffers,
+                                       jax.numpy.asarray(batch))
             for i, key in enumerate(keys):
                 if errs[i] is not None:
                     print(f"{key}\tERROR {errs[i]}", flush=True)
@@ -770,25 +843,41 @@ def main(argv=None) -> int:
                 if pcnt > 1 else args.decode_cache
             )
             ds.warm_decode_cache(cache_dir, num_workers=args.num_workers)
+        wire_dtype = args.wire_dtype
+        if scorer is not None and wire_dtype != "float32":
+            # the exported program's input signature is float32; the PCM16
+            # wire belongs to the in-process score step (which dewires)
+            print("--from_export scores float32 input; ignoring "
+                  f"--wire_dtype {wire_dtype}", file=sys.stderr)
+            wire_dtype = "float32"
         loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
                             num_workers=args.num_workers,
-                            wire_dtype=args.wire_dtype)
+                            wire_dtype=wire_dtype)
         out = args.eval_output or "scores.txt"
         if pcnt > 1:
             out = f"{out}.part{pidx}"
-        # scoring never updates params: pre-cast matmul weights to the compute
-        # dtype once instead of converting the stacked encoder weights every
-        # call (models/base.cast_matmul_params)
-        from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
-
-        params = cast_matmul_params(params, args.compute_dtype)
         t0 = time.time()
 
-        def score_fn(wav):
-            # shard the eval batch over the mesh's data axis (replicates when
-            # the batch doesn't divide it, e.g. a ragged final batch)
-            wav = engine.place_batch({"wav": wav})["wav"]
-            return engine.score_step(params, buffers, wav)
+        if scorer is not None:
+            import numpy as _np
+
+            def score_fn(wav):
+                return scorer.score(_np.asarray(wav))
+        else:
+            # scoring never updates params: pre-cast matmul weights to the
+            # compute dtype once instead of converting the stacked encoder
+            # weights every call (models/base.cast_matmul_params)
+            from scl_deepfake_audio_detection_tpu.models.base import (
+                cast_matmul_params,
+            )
+
+            params = cast_matmul_params(params, args.compute_dtype)
+
+            def score_fn(wav):
+                # shard the eval batch over the mesh's data axis (replicates
+                # when the batch doesn't divide it, e.g. a ragged final batch)
+                wav = engine.place_batch({"wav": wav})["wav"]
+                return engine.score_step(params, buffers, wav)
 
         if args.emb:
             @jax.jit

@@ -1,0 +1,261 @@
+"""AOT export artifacts (scl_deepfake_audio_detection_tpu/export.py).
+
+The artifact contract: jax.export StableHLO + weights in a directory,
+restored and scored with NO framework model code — the deployment analog of
+TorchScript/ONNX the reference lacks entirely (its serving path re-imports
+the model class from source, ``main.py:333``)."""
+
+import io
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scl_deepfake_audio_detection_tpu.export import export_scorer, load_scorer
+from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
+
+SR = 16000
+CUT = 64600
+
+
+@pytest.fixture(scope="module")
+def tiny_scorer_dir(tmp_path_factory):
+    """One tiny-model export shared by the module's tests."""
+    model = LinearNLL(ssl=XLSRConfig.tiny())
+    params = jax.jit(model.init)(jax.random.key(0))
+    out = str(tmp_path_factory.mktemp("export") / "artifact")
+    meta = export_scorer(model, params, {}, out, compute_dtype="bfloat16",
+                         calibration=(1.5, -0.25), model_tag="tiny_nll")
+    return model, params, out, meta
+
+
+def _direct_scores(model, params, wav):
+    """The in-process eval score path the artifact must reproduce."""
+    from scl_deepfake_audio_detection_tpu.models.base import (
+        cast_matmul_params,
+        eval_scores,
+    )
+
+    params = cast_matmul_params(params, "bfloat16")
+    out = model.apply(params, jnp.asarray(wav), train=False, buffers={})
+    return np.asarray(eval_scores(model, out))
+
+
+def test_export_roundtrip_matches_direct_apply(tiny_scorer_dir):
+    model, params, out, _ = tiny_scorer_dir
+    scorer = load_scorer(out)
+    wav = (np.random.default_rng(0).normal(size=(3, CUT)) * 0.1).astype(
+        np.float32
+    )
+    got = scorer.score(wav)
+    want = _direct_scores(model, params, wav)
+    assert got.shape == want.shape == (3, 2)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_export_symbolic_batch_dimension(tiny_scorer_dir):
+    """One artifact serves any batch size (symbolic 'b' dimension)."""
+    model, params, out, _ = tiny_scorer_dir
+    scorer = load_scorer(out)
+    rng = np.random.default_rng(1)
+    for b in (1, 5):
+        wav = (rng.normal(size=(b, CUT)) * 0.1).astype(np.float32)
+        got = scorer.score(wav)
+        assert got.shape == (b, 2)
+        np.testing.assert_allclose(
+            got, _direct_scores(model, params, wav), atol=5e-4
+        )
+
+
+def test_export_input_validation(tiny_scorer_dir):
+    _, _, out, _ = tiny_scorer_dir
+    scorer = load_scorer(out)
+    with pytest.raises(ValueError, match="64600"):
+        scorer.score(np.zeros((2, 1000), np.float32))
+
+
+def test_export_metadata(tiny_scorer_dir):
+    _, _, out, meta = tiny_scorer_dir
+    scorer = load_scorer(out)
+    assert scorer.meta["model_tag"] == "tiny_nll"
+    assert scorer.cut == CUT
+    assert scorer.calibration == (1.5, -0.25)
+    assert set(scorer.meta["platforms"]) == {"cpu", "tpu"}
+    # sidecar json matches the returned meta
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f) == meta
+
+
+def test_export_bf16_weights_round_trip(tiny_scorer_dir):
+    """Matmul weights ride the npz as bfloat16 (uint16 view + manifest) and
+    come back as bfloat16 — halving artifact weight bytes vs fp32."""
+    model, params, out, meta = tiny_scorer_dir
+    scorer = load_scorer(out)
+    dtypes = {str(a.dtype) for a in scorer._p}
+    assert "bfloat16" in dtypes  # cast matmul weights
+    assert "float32" in dtypes  # LN scales/biases stay fp32
+    fp32_bytes = sum(
+        np.asarray(x).size * 4 for x in jax.tree.leaves(params)
+    )
+    assert meta["param_bytes"] < fp32_bytes
+
+
+def test_export_loader_needs_no_model_code(tiny_scorer_dir, monkeypatch):
+    """The whole point of the artifact: restore + score with the model zoo
+    UNIMPORTABLE.  Drop every framework module except the loader's own and
+    install an import blocker for the internals; scoring must still work."""
+    model, params, out, _ = tiny_scorer_dir
+    want = _direct_scores(
+        model, params,
+        (np.random.default_rng(2).normal(size=(2, CUT)) * 0.1).astype(
+            np.float32
+        ),
+    )
+
+    pkg = "scl_deepfake_audio_detection_tpu"
+    blocked_prefixes = tuple(
+        f"{pkg}.{sub}" for sub in
+        ("models", "ops", "train", "dsp", "data", "parallel", "utils")
+    )
+    for name in list(sys.modules):
+        if name.startswith(blocked_prefixes) or name == f"{pkg}.export":
+            monkeypatch.delitem(sys.modules, name)
+
+    class _Blocker:
+        def find_spec(self, name, path=None, target=None):
+            if name.startswith(blocked_prefixes):
+                raise ImportError(
+                    f"model code must not be needed to load an export "
+                    f"artifact (tried to import {name})"
+                )
+            return None
+
+    monkeypatch.setattr(sys, "meta_path", [_Blocker()] + sys.meta_path)
+    from scl_deepfake_audio_detection_tpu.export import (
+        load_scorer as fresh_load,
+    )
+
+    scorer = fresh_load(out)
+    wav = (np.random.default_rng(2).normal(size=(2, CUT)) * 0.1).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(scorer.score(wav), want, atol=5e-4)
+
+
+def test_export_rejects_newer_format(tiny_scorer_dir):
+    _, _, out, _ = tiny_scorer_dir
+    meta_path = os.path.join(out, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    bumped = dict(meta, format_version=meta["format_version"] + 1)
+    with open(meta_path, "w") as f:
+        json.dump(bumped, f)
+    try:
+        with pytest.raises(ValueError, match="newer"):
+            load_scorer(out)
+    finally:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+
+# ---------------------------------------------------------------------------
+# CLI surface
+
+
+def test_cli_export_then_serve_from_export(tmp_path, monkeypatch):
+    """--export_model then --serve --from_export: replies match the
+    in-process serve path on the same audio (cross-surface consistency)."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(7)
+    wavs = []
+    for i in range(2):
+        p = str(tmp_path / f"s{i}.wav")
+        save_wav(p, (rng.normal(size=5000) * 0.2).astype(np.float32), SR)
+        wavs.append(p)
+
+    art = str(tmp_path / "artifact")
+    common = ["--ssl_preset", "tiny", "--config", "configs/conf-3-linear.yaml",
+              "--seed", "77"]
+    rc = main(["--export_model", art] + common)
+    assert rc == 0
+    assert os.path.exists(os.path.join(art, "scorer.jaxexp"))
+
+    def serve(extra):
+        monkeypatch.setattr(
+            "sys.stdin", io.StringIO("\n".join(wavs) + "\n")
+        )
+        out = io.StringIO()
+        monkeypatch.setattr(sys, "stdout", out)
+        rc = main(["--serve"] + extra + common)
+        assert rc == 0
+        return {
+            l.split("\t")[0]: float(l.split("\t")[1])
+            for l in out.getvalue().strip().splitlines()
+        }
+
+    from_export = serve(["--from_export", art])
+    in_process = serve([])
+    assert set(from_export) == set(in_process) == set(wavs)
+    for k in wavs:
+        assert abs(from_export[k] - in_process[k]) < 5e-4
+
+
+def test_cli_eval_from_export_matches_model_eval(tmp_path):
+    """--eval --from_export writes the same score file as the in-process
+    eval path (modulo bf16-level score jitter)."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root = tmp_path / "db"
+    rng = np.random.default_rng(11)
+    os.makedirs(root / "eval")
+    os.makedirs(root / "scp")
+    utts = [f"e{i}.wav" for i in range(3)]
+    for u in utts:
+        save_wav(str(root / "eval" / u),
+                 (rng.normal(size=7000) * 0.2).astype(np.float32), SR)
+    (root / "scp" / "test.lst").write_text("\n".join(utts) + "\n")
+
+    art = str(tmp_path / "artifact")
+    common = ["--ssl_preset", "tiny", "--config", "configs/conf-3-linear.yaml",
+              "--seed", "77", "--database_path", str(root) + "/"]
+    assert main(["--export_model", art] + common) == 0
+
+    out_a = str(tmp_path / "scores_model.txt")
+    out_b = str(tmp_path / "scores_export.txt")
+    assert main(["--eval", "--eval_output", out_a, "--batch_size", "2"]
+                + common) == 0
+    assert main(["--eval", "--eval_output", out_b, "--batch_size", "2",
+                 "--from_export", art] + common) == 0
+
+    def rows(p):
+        with open(p) as f:
+            return {
+                parts[0]: [float(x) for x in parts[1:]]
+                for parts in (l.split() for l in f)
+            }
+
+    a, b = rows(out_a), rows(out_b)
+    assert set(a) == set(b) == set(utts)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=5e-4)
+
+
+def test_cli_from_export_flag_validation(tmp_path):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    art = str(tmp_path / "missing")
+    # no mode
+    assert main(["--from_export", art]) == 2
+    # emb unsupported
+    assert main(["--from_export", art, "--eval", "--emb"]) == 2
+    # model_path conflicts
+    assert main(["--from_export", art, "--serve",
+                 "--model_path", "x.npz"]) == 2
