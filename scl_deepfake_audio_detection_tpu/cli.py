@@ -199,6 +199,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fixed-shape batch (the TPU serving lever — batch-1 "
                         "forwards leave most of the chip idle under load); "
                         "latency for a lone request is unchanged")
+    p.add_argument("--long_audio", action="store_true", default=False,
+                   help="--eval/--serve: score audio LONGER than the 64600-"
+                        "sample window as overlapping half-window-hop crops "
+                        "with score averaging (train/scoring.score_long_audio)"
+                        " instead of the reference's truncation — opt-in: it "
+                        "uses evidence the reference discards, so scores for "
+                        "long clips deliberately differ from reference parity")
     p.add_argument("--export_model", type=str, default=None, metavar="DIR",
                    help="export the scoring function as a standalone AOT "
                         "artifact (jax.export StableHLO, symbolic batch, "
@@ -750,36 +757,58 @@ def main(argv=None) -> int:
 
         sb = max(int(args.serve_batch), 1)
 
+        def batch_score(block):
+            if scorer is not None:
+                return scorer.score(block)
+            return _np.asarray(
+                engine.score_step(params, buffers, jax.numpy.asarray(block))
+            )
+
         def score_group(group):
             """Score up to ``sb`` request lines as ONE [sb, cut] batch.
 
             Pending requests batch together (a batch-1 forward leaves most
             of the chip idle under load); decode failures reply per line
-            while their zero row keeps the single compiled shape."""
+            while their zero row keeps the single compiled shape.  With
+            ``--long_audio``, clips longer than the window score as chunked
+            crops through the SAME compiled [sb, cut] program
+            (score_long_audio with batch=sb) and reply their window-averaged
+            score in request order."""
             keys, rows, errs = [], [], []
+            long_rows = {}
             for line in group:
                 key, _, path = line.rpartition("\t")
                 keys.append(key or path)
                 try:
-                    rows.append(
-                        pad_eval(load_audio(path), args.padding_type, cut)
-                    )
+                    raw_wav = load_audio(path)
+                    if args.long_audio and raw_wav.shape[0] > cut:
+                        from scl_deepfake_audio_detection_tpu.train.scoring import (
+                            score_long_audio,
+                        )
+
+                        long_rows[len(rows)] = score_long_audio(
+                            raw_wav, batch_score, window=cut, batch=sb
+                        )
+                        rows.append(_np.zeros(cut, _np.float32))  # keep slot
+                    else:
+                        rows.append(pad_eval(raw_wav, args.padding_type, cut))
                     errs.append(None)
                 except Exception as e:
                     rows.append(_np.zeros(cut, _np.float32))
                     errs.append(e)
-            batch = _np.zeros((sb, cut), _np.float32)
-            batch[: len(rows)] = _np.stack(rows)
-            if scorer is not None:
-                lp = scorer.score(batch)
-            else:
-                lp = engine.score_step(params, buffers,
-                                       jax.numpy.asarray(batch))
+            lp = None
+            if any(e is None and i not in long_rows
+                   for i, e in enumerate(errs)):
+                batch = _np.zeros((sb, cut), _np.float32)
+                batch[: len(rows)] = _np.stack(rows)
+                lp = batch_score(batch)
             for i, key in enumerate(keys):
                 if errs[i] is not None:
                     print(f"{key}\tERROR {errs[i]}", flush=True)
                     continue
-                raw = float(lp[i, 1])  # bonafide log-prob (reference col)
+                row = long_rows.get(i)
+                raw = float(row[1] if row is not None else lp[i, 1])
+                # col 1 = bonafide log-prob (reference score column)
                 out = cal[0] * raw + cal[1] if cal else raw
                 print(f"{key}\t{out:.6f}", flush=True)
 
@@ -878,6 +907,23 @@ def main(argv=None) -> int:
                 # when the batch doesn't divide it, e.g. a ragged final batch)
                 wav = engine.place_batch({"wav": wav})["wav"]
                 return engine.score_step(params, buffers, wav)
+
+        if args.long_audio and not (args.emb or args.predict):
+            # chunked full-length scoring (see --long_audio help): per-utt
+            # sequential — window counts vary per clip, so there is no single
+            # fixed batch of utterances, only the fixed [batch, cut] chunk
+            # program score_long_audio feeds
+            scoring.produce_long_audio_evaluation_file(
+                ds, score_fn, out, batch=max(args.batch_size, 1)
+            )
+            dt = time.time() - t0
+            print(f"scored {len(file_eval)} utts (long-audio chunked) in "
+                  f"{dt:.1f}s -> {out}")
+            return 0
+        if args.long_audio:
+            print("--long_audio applies to --eval scoring only; "
+                  "--predict/--emb use the fixed-window path",
+                  file=sys.stderr)
 
         if args.emb:
             @jax.jit

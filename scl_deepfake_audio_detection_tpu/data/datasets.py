@@ -335,12 +335,18 @@ class EvalDataset:
         return len(self.files)
 
     def get(self, idx: int) -> Tuple[np.ndarray, str]:
+        wav, utt = self.get_raw(idx)
+        return pad_eval(wav, self.padding_type, self.cut).astype(np.float32), utt
+
+    def get_raw(self, idx: int) -> Tuple[np.ndarray, str]:
+        """Full-length audio, no pad/crop (the ``--long_audio`` chunked
+        scoring path consumes true lengths)."""
         utt = self.files[idx]
         if self.decode_cache is not None and self.decode_cache.has(utt):
             wav = self.decode_cache.get(utt)
         else:
             wav = load_audio(os.path.join(self.base_dir, utt), self.sample_rate)
-        return pad_eval(wav, self.padding_type, self.cut).astype(np.float32), utt
+        return wav, utt
 
     def warm_decode_cache(self, cache_dir: str, num_workers: int = 4):
         """Build (or open) the packed decode cache for this dataset's files

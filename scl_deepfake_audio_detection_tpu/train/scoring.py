@@ -179,6 +179,35 @@ def score_long_audio(
     return np.concatenate(outs).mean(axis=0)
 
 
+def produce_long_audio_evaluation_file(
+    dataset,
+    score_fn: Callable[[np.ndarray], np.ndarray],
+    out_path: str,
+    window: int = 64600,
+    hop: Optional[int] = None,
+    batch: int = 8,
+    progress: Optional[Callable[[int], None]] = None,
+) -> None:
+    """``utt cm0 cm1`` lines via :func:`score_long_audio` on FULL-length
+    audio (CLI ``--eval --long_audio``): every utterance is scored as
+    overlapping ``window``-sample crops with score averaging instead of the
+    reference's truncate-at-64600 policy (``asvspoof_2019_augall_3.py:49-60``
+    discards everything past 4 s).  Utterances at or under ``window`` samples
+    score identically to the normal path under repeat padding (one
+    tile-padded crop).  ``dataset`` needs ``get_raw(idx) -> (wav, utt)``
+    (``data.datasets.EvalDataset``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        for i in range(len(dataset)):
+            wav, utt = dataset.get_raw(i)
+            row = score_long_audio(
+                wav, score_fn, window=window, hop=hop, batch=batch
+            )
+            f.write(f"{utt} {_fmt(row[0])} {_fmt(row[1])}\n")
+            if progress:
+                progress(i + 1)
+
+
 def produce_emb_file(
     batches: Iterable[Tuple[np.ndarray, list]],
     emb_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],

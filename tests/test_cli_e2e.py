@@ -297,6 +297,57 @@ data:
     assert len(os.listdir(aug_dir / "reverb")) == 6
 
 
+def test_cli_long_audio_eval_and_serve(tmp_path, monkeypatch):
+    """--long_audio: long clips score as window-averaged chunks (eval and
+    serve agree); short clips keep matching the fixed-window path."""
+    import io
+    import sys as _sys
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root = tmp_path / "db"
+    os.makedirs(root / "eval")
+    os.makedirs(root / "scp")
+    rng = np.random.default_rng(3)
+    long_wav = (rng.normal(size=100_000) * 0.2).astype(np.float32)  # > 64600
+    short_wav = (rng.normal(size=7000) * 0.2).astype(np.float32)
+    save_wav(str(root / "eval" / "long.wav"), long_wav, SR)
+    save_wav(str(root / "eval" / "short.wav"), short_wav, SR)
+    (root / "scp" / "test.lst").write_text("long.wav\nshort.wav\n")
+
+    common = ["--ssl_preset", "tiny", "--config", "configs/conf-3-linear.yaml",
+              "--database_path", str(root) + "/", "--batch_size", "1",
+              "--padding_type", "repeat"]  # tile-pad == score_long_audio's
+    # tail policy, so short utts match across paths
+    out_a = str(tmp_path / "fixed.txt")
+    out_b = str(tmp_path / "long.txt")
+    assert main(["--eval", "--eval_output", out_a] + common) == 0
+    assert main(["--eval", "--eval_output", out_b, "--long_audio"]
+                + common) == 0
+
+    def rows(p):
+        with open(p) as f:
+            return {l.split()[0]: [float(x) for x in l.split()[1:]]
+                    for l in f}
+
+    a, b = rows(out_a), rows(out_b)
+    # short: one tile-padded window either way -> identical rows
+    np.testing.assert_allclose(a["short.wav"], b["short.wav"], atol=1e-6)
+    # long: truncation vs chunk averaging -> deliberately different
+    assert abs(a["long.wav"][1] - b["long.wav"][1]) > 1e-6
+
+    # serve --long_audio replies equal the long-audio eval cm1 column
+    lines = [str(root / "eval" / "long.wav"), str(root / "eval" / "short.wav")]
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    out = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", out)
+    assert main(["--serve", "--long_audio"] + common) == 0
+    replies = {l.split("\t")[0]: float(l.split("\t")[1])
+               for l in out.getvalue().strip().splitlines()}
+    assert replies[lines[0]] == pytest.approx(b["long.wav"][1], abs=5e-4)
+    assert replies[lines[1]] == pytest.approx(b["short.wav"][1], abs=5e-4)
+
+
 def test_cli_serve_mode(tmp_path, monkeypatch):
     """--serve: persistent scorer over stdin/stdout (one warm program)."""
     import io

@@ -87,6 +87,44 @@ def test_score_long_audio_chunks_and_averages():
     assert out2[0] == pytest.approx(1.0, rel=1e-6)  # tile-padded, mean stays 1
 
 
+def test_long_audio_evaluation_file(tmp_path):
+    """produce_long_audio_evaluation_file: rows equal score_long_audio's
+    window-averaged output per utterance, eval format."""
+    from scl_deepfake_audio_detection_tpu.train.scoring import (
+        produce_long_audio_evaluation_file,
+        score_long_audio,
+    )
+
+    def fake_score(wav):
+        m = wav.mean(axis=1)
+        return np.stack([m, -m], axis=1)
+
+    items = [
+        (np.arange(2600, dtype=np.float32), "long.wav"),
+        (np.ones(300, np.float32), "short.wav"),
+    ]
+
+    class DS:
+        def __len__(self):
+            return len(items)
+
+        def get_raw(self, i):
+            return items[i]
+
+    out = tmp_path / "scores.txt"
+    produce_long_audio_evaluation_file(
+        DS(), fake_score, str(out), window=1000, batch=4
+    )
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    for (wav, utt), line in zip(items, lines):
+        got_utt, cm0, cm1 = line.split()
+        want = score_long_audio(wav, fake_score, window=1000, batch=4)
+        assert got_utt == utt
+        assert float(cm0) == pytest.approx(want[0], rel=1e-5)
+        assert float(cm1) == pytest.approx(want[1], rel=1e-5)
+
+
 def test_pipelined_preserves_order(tmp_path):
     """The depth-2 in-flight scoring queue must not reorder or drop batches."""
     from scl_deepfake_audio_detection_tpu.train.scoring import _pipelined
