@@ -597,6 +597,11 @@ def main(argv=None) -> int:
             print("--from_export already contains the weights; drop "
                   "--model_path", file=sys.stderr)
             return 2
+        if args.export_model or args.parity_check:
+            print("--export_model/--parity_check need the model itself, "
+                  "not an artifact; run them with --model_path/--config",
+                  file=sys.stderr)
+            return 2
         from scl_deepfake_audio_detection_tpu.export import load_scorer
 
         scorer = load_scorer(args.from_export)

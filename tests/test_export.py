@@ -259,3 +259,8 @@ def test_cli_from_export_flag_validation(tmp_path):
     # model_path conflicts
     assert main(["--from_export", art, "--serve",
                  "--model_path", "x.npz"]) == 2
+    # export/parity need the model itself
+    assert main(["--from_export", art, "--eval",
+                 "--export_model", str(tmp_path / "a2")]) == 2
+    assert main(["--from_export", art, "--eval",
+                 "--parity_check", "ref.txt"]) == 2
