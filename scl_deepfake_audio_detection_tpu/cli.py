@@ -84,7 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ssl_checkpoint", type=str, default=None,
                    help="pretrained SSL: fairseq xlsr2_300m.pt or HF model dir")
     p.add_argument("--ssl_preset", type=str, default="xlsr_300m",
-                   choices=["xlsr_300m", "tiny"])
+                   choices=["xlsr_300m", "xlsr_1b", "xlsr_2b",
+                            "student_base", "tiny"],
+                   help="SSL frontend size: xlsr_300m (reference scale), "
+                        "xlsr_1b/2b (need --mesh tp and/or --zero1 — see "
+                        "parallel/memory.py for per-chip HBM estimates), "
+                        "student_base (12x768 distillation student), tiny "
+                        "(CPU smoke tests)")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--out_dir", type=str, default="out")
     p.add_argument("--tensorboard_dir", type=str, default=None,
@@ -239,13 +245,9 @@ def _build_model(args, cfg):
     # remat trades recompute for activation memory in the backward pass —
     # required to fit 300M-param training on one chip; free at eval (fwd only)
     gsd = "bfloat16" if getattr(args, "bf16_grads", False) else None
-    ssl = (
-        XLSRConfig.tiny(compute_dtype=args.compute_dtype, remat=True,
-                        grad_stack_dtype=gsd)
-        if args.ssl_preset == "tiny"
-        else XLSRConfig.xlsr_300m(compute_dtype=args.compute_dtype,
-                                  remat=True, grad_stack_dtype=gsd)
-    )
+    preset = getattr(XLSRConfig, args.ssl_preset)
+    ssl = preset(compute_dtype=args.compute_dtype, remat=True,
+                 grad_stack_dtype=gsd)
     cls = MODELS.get(cfg.model.name)
     model = cls.from_config(cfg.model, ssl=ssl)
     return model

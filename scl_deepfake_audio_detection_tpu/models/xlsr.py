@@ -192,6 +192,21 @@ class XLSRConfig:
         return cls(**base)
 
     @classmethod
+    def student_base(cls, **kw) -> "XLSRConfig":
+        """12x768 student for ``train/distill.DistillEngine`` serving: the
+        wav2vec2-base *geometry* (12 layers, 768-d, 8 heads, 3072 FFN, same
+        stride-320 conv stack => same 201-frame grid as the 300M teacher, so
+        KLD + frame-feature losses align without resampling).  NOT the
+        fairseq GroupNorm 'base' checkpoint layout — this framework (and its
+        converter) implements the layer-norm-extractor family the reference
+        uses (``model/xlsr.py:15``); this preset is a distillation TARGET,
+        initialized from scratch or a teacher, not from facebook/wav2vec2-base."""
+        base = dict(encoder_dim=768, encoder_layers=12, ffn_dim=3072,
+                    num_heads=8)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
     def tiny(cls, **kw) -> "XLSRConfig":
         """Small config for CPU tests / multichip dryruns."""
         base = dict(

@@ -256,6 +256,7 @@ def test_xlsr_family_presets():
         (XLSRConfig.xlsr_300m(), 1024, 24, 4096),
         (XLSRConfig.xlsr_1b(), 1280, 48, 5120),
         (XLSRConfig.xlsr_2b(), 1920, 48, 7680),
+        (XLSRConfig.student_base(), 768, 12, 3072),
     ):
         assert (cfg.encoder_dim, cfg.encoder_layers, cfg.ffn_dim) == (d, l, f)
         assert cfg.encoder_dim % cfg.num_heads == 0
@@ -271,6 +272,21 @@ def test_xlsr_family_presets():
 
     params = init_xlsr(jax.random.key(0), tiny_1b)
     assert params["encoder"]["layers"]["fc1"]["w"].shape == (4, 64, 128)
+
+    # every CLI --ssl_preset choice resolves to a working classmethod and
+    # instantiates shapes (eval_shape: no device memory for the 1B/2B)
+    from scl_deepfake_audio_detection_tpu.cli import build_parser
+
+    choices = next(
+        a.choices for a in build_parser()._actions if a.dest == "ssl_preset"
+    )
+    for name in choices:
+        cfg = getattr(XLSRConfig, name)()
+        shapes = jax.eval_shape(
+            lambda k, c=cfg: init_xlsr(k, c), jax.random.key(0)
+        )
+        n_layers = shapes["encoder"]["layers"]["fc1"]["w"].shape[0]
+        assert n_layers == cfg.encoder_layers
 
 
 def test_bf16_grad_stacks_identical_under_bf16_compute(rng):
