@@ -244,6 +244,7 @@ class ExportedScorer:
         self._fn = jax.jit(
             lambda p, b, w: self._exported.call(p, b, w)
         )
+        self._on_device = False
 
     @property
     def cut(self) -> int:
@@ -264,6 +265,17 @@ class ExportedScorer:
             raise ValueError(
                 f"expected [B, {self.cut}] float32 audio, got {wav.shape}"
             )
+        if not self._on_device:
+            # pin the weights to the device ONCE: jit re-transfers numpy
+            # arguments on every call, which for the 300M artifact means
+            # re-uploading 632 MB per request (measured 2 utt/s through the
+            # tunneled v5e vs 820 with resident weights).  Deferred to the
+            # first score so load_scorer stays backend-free.
+            import jax
+
+            self._p = tuple(jax.device_put(x) for x in self._p)
+            self._b = tuple(jax.device_put(x) for x in self._b)
+            self._on_device = True
         return np.asarray(self._fn(self._p, self._b, wav))
 
 

@@ -149,6 +149,18 @@ def test_export_loader_needs_no_model_code(tiny_scorer_dir, monkeypatch):
     np.testing.assert_allclose(scorer.score(wav), want, atol=5e-4)
 
 
+def test_export_weights_pinned_to_device_after_first_score(tiny_scorer_dir):
+    """score() must device_put the weight leaves once — numpy args to jit
+    re-transfer EVERY call (632 MB/request for the 300M artifact: measured
+    2 utt/s through the tunneled v5e before the pin, 135 after)."""
+    _, _, out, _ = tiny_scorer_dir
+    scorer = load_scorer(out)
+    assert all(isinstance(x, np.ndarray) for x in scorer._p)  # lazy load
+    scorer.score(np.zeros((1, CUT), np.float32))
+    assert all(isinstance(x, jax.Array) for x in scorer._p)
+    assert all(isinstance(x, jax.Array) for x in scorer._b)
+
+
 def test_export_rejects_newer_format(tiny_scorer_dir):
     _, _, out, _ = tiny_scorer_dir
     meta_path = os.path.join(out, "meta.json")
