@@ -447,9 +447,10 @@ def test_cli_serve_batch_matches_batch1(tmp_path, monkeypatch):
     seen_rows.clear()
     r4 = run(["--serve_batch", "4"])
     rows_b4 = list(seen_rows)
-    # batch-1 path: one [1, cut] forward per request; batched path: all 6
-    # pending requests grouped into ceil(6/4)=2 fixed [4, cut] forwards
-    assert rows_b1 == [1] * len(lines)
+    # batch-1 path: one [1, cut] forward per DECODABLE request — the
+    # error-only group skips its (all-zero) forward entirely; batched path:
+    # all 6 pending requests grouped into ceil(6/4)=2 fixed [4, cut] forwards
+    assert rows_b1 == [1] * (len(lines) - 1)
     assert rows_b4 == [4, 4]
     assert [r[0] for r in r1] == [r[0] for r in r4]
     for a, b in zip(r1, r4):
