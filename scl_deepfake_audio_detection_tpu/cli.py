@@ -586,8 +586,11 @@ def main(argv=None) -> int:
     # --- AOT-artifact scoring: skip model construction entirely --------------
     scorer = None
     if args.from_export:
-        if not (args.serve or args.eval or args.predict):
-            print("--from_export works with --serve/--eval/--predict",
+        if not (args.serve or args.eval):
+            # --predict rides --eval (reference semantics: main.py:358-368
+            # dispatches the prediction writer inside the --eval branch)
+            print("--from_export works with --serve or --eval "
+                  "(--eval --predict for the prediction writer)",
                   file=sys.stderr)
             return 2
         if args.emb:

@@ -264,8 +264,10 @@ def test_cli_from_export_flag_validation(tmp_path):
     from scl_deepfake_audio_detection_tpu.cli import main
 
     art = str(tmp_path / "missing")
-    # no mode
+    # no mode (and --predict alone doesn't count: it rides --eval,
+    # reference semantics)
     assert main(["--from_export", art]) == 2
+    assert main(["--from_export", art, "--predict"]) == 2
     # emb unsupported
     assert main(["--from_export", art, "--eval", "--emb"]) == 2
     # model_path conflicts
