@@ -161,6 +161,52 @@ def test_export_weights_pinned_to_device_after_first_score(tiny_scorer_dir):
     assert all(isinstance(x, jax.Array) for x in scorer._b)
 
 
+def test_export_buffer_model_roundtrip(tmp_path):
+    """Models with BN running-stat buffers (resnet/aasist) export too: the
+    buffer leaves ride the artifact and the restored scorer reproduces the
+    in-process eval scores (raw logits for these heads) with those stats."""
+    from scl_deepfake_audio_detection_tpu.models.base import (
+        eval_scores,
+        model_buffers,
+    )
+    from scl_deepfake_audio_detection_tpu.models.resnet import XLSRResNet
+
+    cut = 6400
+    model = XLSRResNet(ssl=XLSRConfig.tiny())
+    params = jax.jit(model.init)(jax.random.key(0))
+    b0 = model_buffers(model)
+    # advance the running stats one train step so the exported buffers are
+    # distinguishable from init (the parity below would otherwise pass with
+    # buffers silently dropped)
+    wav = (np.random.default_rng(3).normal(size=(2, cut)) * 0.1).astype(
+        np.float32
+    )
+    _, b1 = model.apply(params, jnp.asarray(wav), train=True,
+                        rng=jax.random.key(1), buffers=b0, mutable=True)
+
+    out = str(tmp_path / "artifact")
+    meta = export_scorer(model, params, b1, out, cut=cut,
+                         compute_dtype="bfloat16")
+    assert meta["num_buffer_leaves"] == len(jax.tree.leaves(b1))
+
+    scorer = load_scorer(out)
+    got = scorer.score(wav)
+    from scl_deepfake_audio_detection_tpu.models.base import (
+        cast_matmul_params,
+    )
+
+    p16 = cast_matmul_params(params, "bfloat16")
+    want = np.asarray(eval_scores(
+        model, model.apply(p16, jnp.asarray(wav), train=False, buffers=b1)
+    ))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    # and the buffers actually matter: scoring with the INIT stats differs
+    other = np.asarray(eval_scores(
+        model, model.apply(p16, jnp.asarray(wav), train=False, buffers=b0)
+    ))
+    assert not np.allclose(got, other, atol=5e-4)
+
+
 def test_export_rejects_newer_format(tiny_scorer_dir):
     _, _, out, _ = tiny_scorer_dir
     meta_path = os.path.join(out, "meta.json")
