@@ -205,6 +205,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "fixed-shape batch (the TPU serving lever — batch-1 "
                         "forwards leave most of the chip idle under load); "
                         "latency for a lone request is unchanged")
+    p.add_argument("--distill_from", type=str, default=None, metavar="CKPT",
+                   help="train the configured model as a DISTILLATION "
+                        "student of this frozen teacher checkpoint (our "
+                        ".ckpt or a reference .pth; teacher architecture = "
+                        "wav2vec2_linear_nll at --teacher_preset).  Typical "
+                        "use: --ssl_preset student_base for a ~2.2x-serving "
+                        "student (PERFORMANCE.md).  Saves "
+                        "<out>/<tag>/student_last.ckpt every epoch; eval/"
+                        "serve/export it with --model_path + the student's "
+                        "--ssl_preset.  Stateless students only (BN heads "
+                        "need the full Engine)")
+    p.add_argument("--teacher_preset", type=str, default="xlsr_300m",
+                   choices=["xlsr_300m", "xlsr_1b", "xlsr_2b",
+                            "student_base", "tiny"],
+                   help="SSL size of the --distill_from teacher")
+    p.add_argument("--distill_alpha", type=float, default=0.5,
+                   help="CE weight; (1 - alpha) weighs the teacher KLD")
+    p.add_argument("--distill_temp", type=float, default=20.0,
+                   help="KLD temperature (reference kld_distill default)")
+    p.add_argument("--distill_emb_w", type=float, default=0.0,
+                   help="cosine embedding-matching weight (teacher and "
+                        "student emb widths must match; 0 = off)")
     p.add_argument("--long_audio", action="store_true", default=False,
                    help="--eval/--serve: score audio LONGER than the 64600-"
                         "sample window as overlapping half-window-hop crops "
@@ -673,11 +695,16 @@ def main(argv=None) -> int:
                          or args.parity_check or args.export_model)
     opt_state = None
     if scorer is None:
+        # distillation brings its own optimizer (DistillEngine) — don't
+        # allocate the Engine's AdamW moments just to discard them
         params, buffers, opt_state = engine.init_state(
-            rng_key, params=params, buffers=buffers, with_opt=is_train_mode
+            rng_key, params=params, buffers=buffers,
+            with_opt=is_train_mode and not args.distill_from,
         )
     resume_best = None
-    if resume_opt is not None and is_train_mode:
+    if resume_opt is not None and is_train_mode and not args.distill_from:
+        # (--distill_from + a full-train-state --model_path only seeds the
+        # student's params above; the Engine's AdamW state isn't allocated)
         from scl_deepfake_audio_detection_tpu.parallel import shard_params
 
         params, b2, opt_state, _, rng_key, resume_best = ckpt.load_train_state(
@@ -1069,6 +1096,77 @@ def main(argv=None) -> int:
         if composer is not None:
             return _composed(train_loader.epoch(e), e)
         return train_loader.epoch(e)
+
+    # --- distillation training -------------------------------------------------
+    if args.distill_from:
+        import numpy as np
+
+        from scl_deepfake_audio_detection_tpu.models.linear_nll import (
+            LinearNLL,
+        )
+        from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+        from scl_deepfake_audio_detection_tpu.train import distill as D
+
+        teacher_preset = getattr(XLSRConfig, args.teacher_preset)
+
+        teacher = LinearNLL(ssl=teacher_preset(
+            compute_dtype=args.compute_dtype
+        ))
+        if args.distill_from.endswith(".pth"):
+            from scl_deepfake_audio_detection_tpu.models import convert
+
+            sd = ckpt.load_reference_head_checkpoint(args.distill_from)
+            t_params, _ = convert.from_reference_model_checkpoint(
+                sd, like=teacher.ssl
+            )
+            t_buffers = {}
+        else:
+            tree, _ = ckpt.load(args.distill_from)
+            t_params = tree["params"] if "params" in tree else tree
+            t_buffers = (tree.get("buffers") or {}) if isinstance(tree, dict) \
+                else {}
+        dcfg = D.DistillConfig(
+            temperature=args.distill_temp,
+            alpha=args.distill_alpha,
+            emb_loss_weight=args.distill_emb_w,
+            weight_decay=args.weight_decay,
+        )
+        try:
+            deng = D.DistillEngine(teacher, model, dcfg, mesh=engine.mesh)
+        except ValueError as e:  # BN students need the full Engine
+            print(str(e), file=sys.stderr)
+            return 2
+        s_params, d_opt, t_params, t_buffers = deng.init_state(
+            rng_key, t_params, student_params=params,
+            teacher_buffers=t_buffers,
+        )
+        t0 = time.time()
+        for epoch in range(train_cfg.start_epoch,
+                           train_cfg.start_epoch + train_cfg.num_epochs):
+            te = time.time()
+            s_params, d_opt, metrics = deng.run_epoch(
+                s_params, d_opt, t_params, train_batches(),
+                jax.random.fold_in(rng_key, epoch),
+                teacher_buffers=t_buffers,
+            )
+            print(f"epoch {epoch}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+                  + f" ({time.time()-te:.1f}s)")
+            if not all(np.isfinite(v) for v in metrics.values()):
+                print("non-finite distillation metrics; stopping",
+                      file=sys.stderr)
+                return 1
+            # collective save (every process calls; proc 0 writes)
+            ckpt.save(
+                os.path.join(save_dir, "student_last.ckpt"),
+                {"params": s_params},
+                extra={"epoch": epoch,
+                       **{k: float(v) for k, v in metrics.items()}},
+            )
+        print(f"Total distillation time: {time.time() - t0}s; student at "
+              f"{os.path.join(save_dir, 'student_last.ckpt')} — eval/serve/"
+              f"export it with --model_path + --ssl_preset {args.ssl_preset}")
+        return 0
 
     def log_fn(epoch, record):
         print(

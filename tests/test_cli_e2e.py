@@ -297,6 +297,55 @@ data:
     assert len(os.listdir(aug_dir / "reverb")) == 6
 
 
+def test_cli_distill_workflow(mini_db, mini_config, tmp_path):
+    """--distill_from: train the configured model as a student of a frozen
+    teacher checkpoint, save student_last.ckpt per epoch, then eval the
+    student through the normal checkpoint path."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+
+    root, utts = mini_db
+    # a tiny frozen teacher checkpoint (weights only, engine format)
+    teacher = LinearNLL(ssl=XLSRConfig.tiny())
+    t_params = jax.jit(teacher.init)(jax.random.key(42))
+    t_path = str(tmp_path / "teacher.ckpt")
+    ckpt.save(t_path, {"params": t_params})
+
+    out_dir = str(tmp_path / "out")
+    rc = main([
+        "--distill_from", t_path, "--teacher_preset", "tiny",
+        "--ssl_preset", "tiny", "--config", mini_config,
+        "--database_path", str(root) + "/",
+        "--num_epochs", "1", "--batch_size", "1", "--out_dir", out_dir,
+        "--seed", "7", "--num_workers", "2",
+        "--distill_emb_w", "0.1",  # tiny teacher/student embs both 128-d
+    ])
+    assert rc == 0
+    import glob
+
+    student = glob.glob(out_dir + "/*/student_last.ckpt")
+    assert len(student) == 1
+    tree, extra = ckpt.load(student[0])
+    assert extra["epoch"] == 0
+    assert np.isfinite(extra["loss_kld"]) and np.isfinite(extra["loss"])
+    assert 0.0 <= extra["teacher_agreement"] <= 1.0
+
+    # the student checkpoint rides the normal eval path
+    scores = str(tmp_path / "student_scores.txt")
+    rc = main([
+        "--eval", "--model_path", student[0], "--ssl_preset", "tiny",
+        "--config", mini_config, "--database_path", str(root) + "/",
+        "--batch_size", "2", "--eval_output", scores,
+    ])
+    assert rc == 0
+    with open(scores) as f:
+        assert len(f.read().splitlines()) == len(utts)
+
+
 def test_cli_long_audio_eval_and_serve(tmp_path, monkeypatch):
     """--long_audio: long clips score as window-averaged chunks (eval and
     serve agree); short clips keep matching the fixed-window path."""
