@@ -227,6 +227,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distill_emb_w", type=float, default=0.0,
                    help="cosine embedding-matching weight (teacher and "
                         "student emb widths must match; 0 = off)")
+    p.add_argument("--resume_eval", action="store_true", default=False,
+                   help="--eval/--predict: if the output score file already "
+                        "exists, keep its well-formed rows (a torn final "
+                        "line from a killed run is dropped), score ONLY the "
+                        "missing utterances and append them — restartable "
+                        "70k-utt sweeps instead of rescoring from scratch. "
+                        "Rows land in file order on a clean prefix; "
+                        "downstream tools join on utt id either way")
     p.add_argument("--long_audio", action="store_true", default=False,
                    help="--eval/--serve: score audio LONGER than the 64600-"
                         "sample window as overlapping half-window-hop crops "
@@ -892,6 +900,29 @@ def main(argv=None) -> int:
         if pcnt > 1:  # per-host slice; merge with `cat out.part*` afterwards
             file_eval = file_eval[pidx::pcnt]
         print(f"no. of eval trials {len(file_eval)}")
+        out = args.eval_output or "scores.txt"
+        if pcnt > 1:
+            out = f"{out}.part{pidx}"
+        resume_append = False
+        if args.resume_eval:
+            if args.emb:
+                print("--resume_eval supports --eval/--predict score files "
+                      "(per-utt .npy embedding dirs don't resume); rerun "
+                      "--emb without it", file=sys.stderr)
+                return 2
+            valid_rows, scored = scoring.read_valid_rows(out, n_tokens=3)
+            if scored:
+                file_eval = [u for u in file_eval if u not in scored]
+                # rewrite exactly the rows we keep: drops a torn final line
+                # (killed mid-write) and duplicates before appending resumes
+                with open(out, "w") as f:
+                    f.writelines(valid_rows)
+                resume_append = True
+                print(f"resume: {len(scored)} utts already scored in {out}, "
+                      f"{len(file_eval)} remaining")
+                if not file_eval:
+                    print(f"nothing left to score -> {out}")
+                    return 0
         ds = EvalDataset(
             file_eval,
             args.database_path,
@@ -919,9 +950,6 @@ def main(argv=None) -> int:
         loader = EvalLoader(ds, batch_size=max(args.batch_size, 1),
                             num_workers=args.num_workers,
                             wire_dtype=wire_dtype)
-        out = args.eval_output or "scores.txt"
-        if pcnt > 1:
-            out = f"{out}.part{pidx}"
         t0 = time.time()
 
         if scorer is not None:
@@ -951,7 +979,8 @@ def main(argv=None) -> int:
             # fixed batch of utterances, only the fixed [batch, cut] chunk
             # program score_long_audio feeds
             scoring.produce_long_audio_evaluation_file(
-                ds, score_fn, out, batch=max(args.batch_size, 1)
+                ds, score_fn, out, batch=max(args.batch_size, 1),
+                append=resume_append,
             )
             dt = time.time() - t0
             print(f"scored {len(file_eval)} utts (long-audio chunked) in "
@@ -977,9 +1006,11 @@ def main(argv=None) -> int:
 
             scoring.produce_emb_file(loader, emb_fn, out)
         elif args.predict:
-            scoring.produce_prediction_file(loader, score_fn, out)
+            scoring.produce_prediction_file(loader, score_fn, out,
+                                            append=resume_append)
         else:
-            scoring.produce_evaluation_file(loader, score_fn, out)
+            scoring.produce_evaluation_file(loader, score_fn, out,
+                                            append=resume_append)
         dt = time.time() - t0
         print(f"scored {len(file_eval)} utts in {dt:.1f}s "
               f"({len(file_eval)/dt:.1f} utt/s) -> {out}")

@@ -24,6 +24,37 @@ def _fmt(x: float) -> str:
     return str(float(x))
 
 
+def read_valid_rows(path: str, n_tokens: int = 3) -> Tuple[list, set]:
+    """Parse an existing score file for eval resumption.
+
+    Returns ``(valid_lines, scored_utts)``: the well-formed rows (exactly
+    ``n_tokens`` whitespace tokens, every column past the utt id a parseable
+    float-or-int) and the set of utt ids they cover.  A torn final line —
+    the normal artifact of a run killed mid-write — is dropped, as is any
+    duplicate utt (first occurrence wins, matching how downstream joins
+    read the file).  Used by the CLI's ``--resume_eval``: rewrite the valid
+    rows, score only the missing utts, append.
+    """
+    valid, seen = [], set()
+    if not os.path.exists(path):
+        return valid, seen
+    with open(path) as f:
+        for line in f:
+            if not line.endswith("\n"):
+                break  # torn final line: the write was interrupted
+            toks = line.split()
+            if len(toks) != n_tokens or toks[0] in seen:
+                continue
+            try:
+                for t in toks[1:]:
+                    float(t)
+            except ValueError:
+                continue
+            valid.append(line)
+            seen.add(toks[0])
+    return valid, seen
+
+
 def _pipelined(batches, launch, depth: int = 2):
     """Keep ``depth`` scoring calls in flight before materializing results.
 
@@ -47,13 +78,15 @@ def produce_evaluation_file(
     score_fn: Callable[[np.ndarray], np.ndarray],
     out_path: str,
     progress: Optional[Callable[[int], None]] = None,
+    append: bool = False,
 ) -> None:
     """``utt cm0 cm1`` lines (reference ``produce_evaluation_file``,
     ``main.py:161-180``). ``score_fn`` maps wav [B, T] -> log_probs [B, 2];
-    padded tail rows (beyond len(utts)) are dropped."""
+    padded tail rows (beyond len(utts)) are dropped.  ``append`` adds rows
+    to an existing file (``--resume_eval``); the default truncates."""
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
     done = 0
-    with open(out_path, "w") as f:
+    with open(out_path, "a" if append else "w") as f:
         for utts, lp_dev in _pipelined(batches, score_fn):
             lp = np.asarray(lp_dev)[: len(utts)]
             for utt, row in zip(utts, lp):
@@ -68,12 +101,13 @@ def produce_prediction_file(
     score_fn: Callable[[np.ndarray], np.ndarray],
     out_path: str,
     progress: Optional[Callable[[int], None]] = None,
+    append: bool = False,
 ) -> None:
     """``utt score pred`` lines, score = bonafide log-prob, pred = argmax
     (reference ``produce_prediction_file``, ``main.py:182-214``)."""
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
     done = 0
-    with open(out_path, "w") as f:
+    with open(out_path, "a" if append else "w") as f:
         for utts, lp_dev in _pipelined(batches, score_fn):
             lp = np.asarray(lp_dev)[: len(utts)]
             pred = np.argmax(lp, axis=-1)
@@ -187,6 +221,7 @@ def produce_long_audio_evaluation_file(
     hop: Optional[int] = None,
     batch: int = 8,
     progress: Optional[Callable[[int], None]] = None,
+    append: bool = False,
 ) -> None:
     """``utt cm0 cm1`` lines via :func:`score_long_audio` on FULL-length
     audio (CLI ``--eval --long_audio``): every utterance is scored as
@@ -197,7 +232,7 @@ def produce_long_audio_evaluation_file(
     tile-padded crop).  ``dataset`` needs ``get_raw(idx) -> (wav, utt)``
     (``data.datasets.EvalDataset``)."""
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
+    with open(out_path, "a" if append else "w") as f:
         for i in range(len(dataset)):
             wav, utt = dataset.get_raw(i)
             row = score_long_audio(

@@ -258,6 +258,56 @@ def test_cli_eval_only_layout(tmp_path):
     assert rc == 0
 
 
+def test_cli_resume_eval(tmp_path):
+    """--resume_eval: a killed eval run leaves a partial score file (with a
+    torn final line); resuming scores only the missing utts and the final
+    file is byte-identical to an uninterrupted run."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root = tmp_path / "itw"
+    os.makedirs(root / "wav")
+    rng = np.random.default_rng(11)
+    with open(root / "protocol.txt", "w") as f:
+        for i in range(6):
+            wav = rng.normal(size=5000).astype(np.float32) * 0.2
+            save_wav(str(root / "wav" / f"{i}.wav"), wav, SR)
+            f.write(f"wav/{i}.wav eval bonafide\n")
+    cfg = tmp_path / "eval_only.yaml"
+    cfg.write_text(
+        "model:\n  name: wav2vec2_linear_nll\n  flag_fix_ssl: false\n"
+        "  contra_mode: 'all'\n  loss_type: 1\n"
+        "data:\n  name: 'eval_only'\n  kwargs: {}\n"
+    )
+    base = ["--config", str(cfg), "--database_path", str(root) + "/",
+            "--batch_size", "2", "--eval", "--ssl_preset", "tiny",
+            "--num_workers", "2", "--seed", "4"]
+
+    full = str(tmp_path / "full.txt")
+    assert main(base + ["--eval_output", full]) == 0
+    full_text = open(full).read()
+    assert len(full_text.splitlines()) == 6
+
+    # simulate the kill: 3 complete rows + a torn 4th line (no newline)
+    part = str(tmp_path / "resumed.txt")
+    rows = full_text.splitlines(keepends=True)
+    with open(part, "w") as f:
+        f.writelines(rows[:3])
+        f.write(rows[3][: len(rows[3]) // 2])
+    rc = main(base + ["--eval_output", part, "--resume_eval"])
+    assert rc == 0
+    assert open(part).read() == full_text
+
+    # resuming a COMPLETE file rescans and exits without scoring anything
+    rc = main(base + ["--eval_output", part, "--resume_eval"])
+    assert rc == 0
+    assert open(part).read() == full_text
+
+    # --emb cannot resume (per-utt .npy dir): explicit usage error
+    rc = main(base + ["--eval_output", str(tmp_path / "embs"),
+                      "--resume_eval", "--emb"])
+    assert rc == 2
+
+
 def test_cli_warm_cache(mini_db, tmp_path):
     """--warm_cache pre-populates the offline aug cache for train+dev and
     exits without building a model."""

@@ -46,6 +46,45 @@ def test_rerun_truncates_not_appends(tmp_path):
     assert len(out.read_text().splitlines()) == 3  # reference 'a+' would give 6
 
 
+def test_read_valid_rows_resume_parsing(tmp_path):
+    """--resume_eval's parser: keeps well-formed rows, drops a torn final
+    line (killed mid-write), duplicates, wrong token counts, and non-float
+    score columns; a missing file is an empty resume."""
+    out = tmp_path / "scores.txt"
+    assert scoring.read_valid_rows(str(out)) == ([], set())
+
+    out.write_text(
+        "a.flac -1.5 -0.25\n"
+        "bad_line_two_tokens -1.0\n"
+        "b.flac -1.5 notafloat\n"
+        "a.flac -9.9 -9.9\n"          # duplicate: first occurrence wins
+        "c.flac -1.5 -0.75\n"
+        "d.flac -1.5 -0.5"            # torn: no trailing newline
+    )
+    valid, seen = scoring.read_valid_rows(str(out), n_tokens=3)
+    assert seen == {"a.flac", "c.flac"}
+    assert valid == ["a.flac -1.5 -0.25\n", "c.flac -1.5 -0.75\n"]
+
+
+def test_evaluation_file_append_mode(tmp_path):
+    """append=True (the --resume_eval writer mode) extends instead of
+    truncating, and the combined file equals a fresh full run."""
+    out = tmp_path / "scores.txt"
+    scoring.produce_evaluation_file(_batches(), _score_fn, str(out))
+    full = out.read_text()
+
+    def first_batch():
+        yield np.zeros((2, 10), np.float32), ["a.flac", "b.flac"]
+
+    def rest_batch():
+        yield np.zeros((2, 10), np.float32), ["c.flac"]
+
+    scoring.produce_evaluation_file(first_batch(), _score_fn, str(out))
+    scoring.produce_evaluation_file(rest_batch(), _score_fn, str(out),
+                                    append=True)
+    assert out.read_text() == full
+
+
 def test_emb_files(tmp_path):
     def emb_fn(wav):
         n = wav.shape[0]
