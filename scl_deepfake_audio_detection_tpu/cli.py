@@ -196,6 +196,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval-side score files (same system order as --fuse)")
     p.add_argument("--fuse_out", type=str, default=None,
                    help="output path for fused eval scores (pred format)")
+    p.add_argument("--average_ckpts", type=str, default=None,
+                   metavar="C1,C2[,..]",
+                   help="leaf-wise average K checkpoints (SWA-style final "
+                        "model: float leaves incl. BN stats average, "
+                        "optimizer/RNG state is dropped) and write the "
+                        "result to --avg_out for --model_path use")
+    p.add_argument("--avg_out", type=str, default=None,
+                   help="output path for --average_ckpts "
+                        "(default averaged.ckpt)")
     p.add_argument("--calibrate", type=str, default=None, metavar="A,B",
                    help="apply 'a,b' affine calibration to --serve scores "
                         "(emit calibrated LLRs instead of raw bonafide "
@@ -304,6 +313,24 @@ def _init_params(args, model, rng_key):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # --- checkpoint averaging (no model needed) -------------------------------
+    if args.average_ckpts:
+        from scl_deepfake_audio_detection_tpu.train import checkpoint as _ckpt
+
+        paths = [p_.strip() for p_ in args.average_ckpts.split(",")
+                 if p_.strip()]
+        out = args.avg_out or "averaged.ckpt"
+        try:
+            avg, _ = _ckpt.average_checkpoints(paths, out_path=out)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        nbytes = sum(a.nbytes for a in avg.values())
+        print(f"averaged {len(paths)} checkpoints ({len(avg)} leaves, "
+              f"{nbytes/1e6:.1f} MB) -> {out}; eval/serve/export it with "
+              f"--model_path {out}")
+        return 0
 
     # --- paired system comparison (no model needed) ---------------------------
     if args.compare:

@@ -151,6 +151,65 @@ def load(path: str) -> Tuple[Any, Dict[str, Any]]:
     return _unflatten_dicts(flat), extra
 
 
+def average_checkpoints(paths, out_path: Optional[str] = None):
+    """Leaf-wise checkpoint averaging (SWA-style final model).
+
+    Averaging the last-K epoch checkpoints is a standard cheap final-model
+    trick the reference has no counterpart for (its EarlyStop keeps single
+    ``epoch_{n}.pth`` files, ``main.py:43-45``).  Works on this framework's
+    ``.ckpt`` files — params-only or full train state; optimizer moments and
+    the RNG key are dropped (an averaged Adam state is meaningless), so the
+    result is a params(+buffers) checkpoint for ``--model_path`` eval/serve/
+    export.
+
+    Float leaves average in float64 and cast back to the first checkpoint's
+    dtype (BN running stats average too — the SWA recipe); integer leaves
+    (e.g. step counters) take the first checkpoint's value.  Key sets and
+    shapes must match across checkpoints.
+
+    Returns ``(flat_arrays, extra)``; with ``out_path`` also writes the
+    averaged checkpoint atomically.
+    """
+    if len(paths) < 2:
+        raise ValueError("--average_ckpts needs at least two checkpoints")
+
+    def _keep(k: str) -> bool:
+        return k != _META_KEY and k != "rng_key" \
+            and not k.startswith("opt_state_leaves")
+
+    flats = []
+    for p in paths:
+        with np.load(p, allow_pickle=False) as z:
+            flats.append({k: z[k] for k in z.files if _keep(k)})
+    base = flats[0]
+    for p, f in zip(paths[1:], flats[1:]):
+        if set(f) != set(base):
+            missing = set(base) ^ set(f)
+            raise ValueError(
+                f"{p} has a different key set than {paths[0]} "
+                f"(differs on e.g. {sorted(missing)[:3]})"
+            )
+        for k in base:
+            if f[k].shape != base[k].shape:
+                raise ValueError(
+                    f"shape mismatch at {k}: {paths[0]} {base[k].shape} "
+                    f"vs {p} {f[k].shape}"
+                )
+    avg: Dict[str, np.ndarray] = {}
+    for k in base:
+        if np.issubdtype(base[k].dtype, np.floating):
+            acc = np.zeros(base[k].shape, np.float64)
+            for f in flats:
+                acc += np.asarray(f[k], np.float64)
+            avg[k] = (acc / len(flats)).astype(base[k].dtype)
+        else:
+            avg[k] = base[k]
+    extra = {"averaged_from": [os.path.abspath(p) for p in paths]}
+    if out_path:
+        _write_flat(out_path, avg, extra)
+    return avg, extra
+
+
 def pack_opt_leaves(opt_state) -> dict:
     """Positional leaf packing for optimizer state: optax states are nested
     namedtuples whose *structure* the optimizer definition recreates at load

@@ -290,3 +290,66 @@ def test_al_state_save_is_atomic_replace(tmp_path):
     finally:
         _json.dump = real_dump
     assert ALState.load(path).train_idx == [9]  # old state survived
+
+
+def test_average_checkpoints(tmp_path):
+    """SWA-style checkpoint averaging: float leaves mean elementwise,
+    integer leaves and non-averageable state behave as documented."""
+    a = {"params": {"w": np.full((3, 2), 1.0, np.float32),
+                    "steps": np.array(5, np.int32)},
+         "buffers": {"bn_mean": np.full(4, 0.0, np.float32)}}
+    b = {"params": {"w": np.full((3, 2), 3.0, np.float32),
+                    "steps": np.array(9, np.int32)},
+         "buffers": {"bn_mean": np.full(4, 1.0, np.float32)}}
+    pa, pb = str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")
+    ckpt.save(pa, a)
+    ckpt.save(pb, b)
+
+    out = str(tmp_path / "avg.ckpt")
+    avg, extra = ckpt.average_checkpoints([pa, pb], out_path=out)
+    tree, extra2 = ckpt.load(out)
+    np.testing.assert_array_equal(tree["params"]["w"],
+                                  np.full((3, 2), 2.0, np.float32))
+    np.testing.assert_array_equal(tree["buffers"]["bn_mean"],
+                                  np.full(4, 0.5, np.float32))
+    # integer leaves take the FIRST checkpoint's value
+    assert int(tree["params"]["steps"]) == 5
+    assert extra2["averaged_from"] == [pa, pb]
+
+    # self-average is the identity
+    avg2, _ = ckpt.average_checkpoints([pa, pa])
+    np.testing.assert_array_equal(avg2["params//w"], a["params"]["w"])
+
+    # full train-state checkpoints: optimizer moments + RNG key are dropped
+    ckpt.save_train_state(str(tmp_path / "ts.ckpt"),
+                          {"w": np.ones(2, np.float32)},
+                          opt_state={"m": np.ones(2, np.float32)},
+                          epoch=3, rng_key=jax.random.key(0), best=1.0)
+    avg3, _ = ckpt.average_checkpoints(
+        [str(tmp_path / "ts.ckpt"), str(tmp_path / "ts.ckpt")]
+    )
+    assert all(not k.startswith("opt_state_leaves") and k != "rng_key"
+               for k in avg3)
+
+    # guardrails: <2 paths, mismatched key sets
+    with pytest.raises(ValueError):
+        ckpt.average_checkpoints([pa])
+    pc = str(tmp_path / "c.ckpt")
+    ckpt.save(pc, {"params": {"w": np.ones((3, 2), np.float32)}})
+    with pytest.raises(ValueError, match="key set"):
+        ckpt.average_checkpoints([pa, pc])
+
+
+def test_cli_average_ckpts(tmp_path):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    pa, pb = str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")
+    ckpt.save(pa, {"params": {"w": np.zeros(3, np.float32)}})
+    ckpt.save(pb, {"params": {"w": np.full(3, 4.0, np.float32)}})
+    out = str(tmp_path / "avg.ckpt")
+    assert main(["--average_ckpts", f"{pa},{pb}", "--avg_out", out]) == 0
+    tree, _ = ckpt.load(out)
+    np.testing.assert_array_equal(tree["params"]["w"],
+                                  np.full(3, 2.0, np.float32))
+    # a broken request is a clean usage error, not a traceback
+    assert main(["--average_ckpts", pa, "--avg_out", out]) == 2
