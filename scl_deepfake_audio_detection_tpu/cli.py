@@ -979,6 +979,18 @@ def main(argv=None) -> int:
                             wire_dtype=wire_dtype)
         t0 = time.time()
 
+        # periodic progress to stderr (score rows go to the file; a 71933-utt
+        # sweep otherwise runs silent for its whole duration)
+        _total = len(file_eval)
+        _last = {"n": 0, "t": t0}
+        def _progress(n):
+            if n - _last["n"] >= max(200, _total // 50) or n >= _total:
+                now = time.time()
+                rate = (n - _last["n"]) / max(now - _last["t"], 1e-9)
+                print(f"  scored {n}/{_total} ({rate:.1f} utt/s)",
+                      file=sys.stderr)
+                _last["n"], _last["t"] = n, now
+
         if scorer is not None:
             import numpy as _np
 
@@ -1007,7 +1019,7 @@ def main(argv=None) -> int:
             # program score_long_audio feeds
             scoring.produce_long_audio_evaluation_file(
                 ds, score_fn, out, batch=max(args.batch_size, 1),
-                append=resume_append,
+                append=resume_append, progress=_progress,
             )
             dt = time.time() - t0
             print(f"scored {len(file_eval)} utts (long-audio chunked) in "
@@ -1031,13 +1043,15 @@ def main(argv=None) -> int:
             def emb_fn(wav):
                 return _emb_step(params, buffers, wav)
 
-            scoring.produce_emb_file(loader, emb_fn, out)
+            scoring.produce_emb_file(loader, emb_fn, out, progress=_progress)
         elif args.predict:
             scoring.produce_prediction_file(loader, score_fn, out,
-                                            append=resume_append)
+                                            append=resume_append,
+                                            progress=_progress)
         else:
             scoring.produce_evaluation_file(loader, score_fn, out,
-                                            append=resume_append)
+                                            append=resume_append,
+                                            progress=_progress)
         dt = time.time() - t0
         print(f"scored {len(file_eval)} utts in {dt:.1f}s "
               f"({len(file_eval)/dt:.1f} utt/s) -> {out}")
