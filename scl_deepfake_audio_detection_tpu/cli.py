@@ -257,6 +257,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "cpu+tpu lowering, weights as arguments) and exit; "
                         "deploy it with --from_export — no model code needed "
                         "on the serving host")
+    p.add_argument("--verify_export", type=str, default=None, metavar="DIR",
+                   help="deployment hygiene: score a deterministic probe "
+                        "batch through BOTH the --export_model artifact in "
+                        "DIR and the in-process model (--config/--ssl_preset/"
+                        "--model_path), print the max score difference, exit "
+                        "0 iff within --parity_tol — catches artifact/"
+                        "checkpoint drift before it serves traffic")
     p.add_argument("--from_export", type=str, default=None, metavar="DIR",
                    help="--serve/--eval/--predict from an --export_model "
                         "artifact: the serialized program + weights replace "
@@ -659,10 +666,10 @@ def main(argv=None) -> int:
             print("--from_export already contains the weights; drop "
                   "--model_path", file=sys.stderr)
             return 2
-        if args.export_model or args.parity_check:
-            print("--export_model/--parity_check need the model itself, "
-                  "not an artifact; run them with --model_path/--config",
-                  file=sys.stderr)
+        if args.export_model or args.parity_check or args.verify_export:
+            print("--export_model/--parity_check/--verify_export need the "
+                  "model itself, not an artifact; run them with "
+                  "--model_path/--config", file=sys.stderr)
             return 2
         from scl_deepfake_audio_detection_tpu.export import load_scorer
 
@@ -727,7 +734,8 @@ def main(argv=None) -> int:
     # forward-only modes never read optimizer state: skip allocating AdamW
     # moments (2x param bytes of HBM) and skip the exact-resume re-load
     is_train_mode = not (args.eval or args.predict or args.emb or args.serve
-                         or args.parity_check or args.export_model)
+                         or args.parity_check or args.export_model
+                         or args.verify_export)
     opt_state = None
     if scorer is None:
         # distillation brings its own optimizer (DistillEngine) — don't
@@ -773,6 +781,35 @@ def main(argv=None) -> int:
         )
         print(report)
         return 0 if report.ok else 1
+
+    # --- export-artifact verification ------------------------------------------
+    if args.verify_export:
+        import numpy as np
+
+        from scl_deepfake_audio_detection_tpu.export import load_scorer
+        from scl_deepfake_audio_detection_tpu.models.base import (
+            cast_matmul_params,
+        )
+
+        vscorer = load_scorer(args.verify_export)
+        if vscorer.meta["model_tag"] != cfg.model.name:
+            print(f"note: artifact model_tag {vscorer.meta['model_tag']!r} "
+                  f"!= config model {cfg.model.name!r}", file=sys.stderr)
+        rng = np.random.default_rng(args.seed)
+        probe = (rng.standard_normal((4, vscorer.cut)) * 0.1).astype(np.float32)
+        art = vscorer.score(probe)
+        cast = cast_matmul_params(params, args.compute_dtype)
+        ours = np.asarray(engine.score_step(cast, buffers, jax.numpy.asarray(probe)))
+        if art.shape != ours.shape:
+            print(f"verify_export: FAIL — score shape {art.shape} (artifact) "
+                  f"!= {ours.shape} (model)", file=sys.stderr)
+            return 1
+        diff = float(np.max(np.abs(art - ours)))
+        ok = diff <= args.parity_tol
+        print(f"verify_export: max |artifact - model| = {diff:.3e} over "
+              f"{probe.shape[0]} probe utts "
+              f"({'OK' if ok else 'FAIL'}, tol {args.parity_tol:g})")
+        return 0 if ok else 1
 
     # --- AOT export mode --------------------------------------------------------
     if args.export_model:

@@ -324,3 +324,34 @@ def test_cli_from_export_flag_validation(tmp_path):
                  "--export_model", str(tmp_path / "a2")]) == 2
     assert main(["--from_export", art, "--eval",
                  "--parity_check", "ref.txt"]) == 2
+
+
+def test_cli_verify_export(tmp_path):
+    """--verify_export: same seed/weights -> OK (rc 0); a different
+    checkpoint behind the same flags -> drift detected (rc 1)."""
+    import jax
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+
+    art = str(tmp_path / "artifact")
+    common = ["--ssl_preset", "tiny", "--config", "configs/conf-3-linear.yaml",
+              "--seed", "77"]
+    assert main(["--export_model", art] + common) == 0
+
+    # the artifact was exported from the seed-77 random init: verifying
+    # against the same init must agree to float tolerance
+    assert main(["--verify_export", art] + common) == 0
+
+    # a different model behind the same flags is drift: must FAIL
+    other = LinearNLL(ssl=XLSRConfig.tiny())
+    p_other = other.init(jax.random.key(123))
+    other_ckpt = str(tmp_path / "other.ckpt")
+    ckpt.save(other_ckpt, {"params": p_other})
+    assert main(["--verify_export", art, "--model_path", other_ckpt]
+                + common) == 1
+
+    # an artifact cannot verify itself
+    assert main(["--verify_export", art, "--from_export", art, "--eval"]) == 2
