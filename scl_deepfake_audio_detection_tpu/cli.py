@@ -268,6 +268,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--serve/--eval/--predict from an --export_model "
                         "artifact: the serialized program + weights replace "
                         "model construction and checkpoint loading")
+    p.add_argument("--export_reference_ckpt", type=str, default=None,
+                   metavar="OUT.pth",
+                   help="reverse migration: write the loaded wav2vec2_linear_"
+                        "nll checkpoint (--model_path, ours or a reference "
+                        ".pth) as a reference-loadable torch state dict "
+                        "(main.py --model_path in the upstream stack) and "
+                        "exit; round-tripping a reference .pth preserves its "
+                        "BatchNorm/pretraining-head tensors byte-exactly")
     p.add_argument("--plot", type=str, default=None,
                    help="save the score-distribution figure of --analyze here")
     p.add_argument("--plot_det", type=str, default=None,
@@ -699,6 +707,7 @@ def main(argv=None) -> int:
               else _init_params(args, model, rng_key))
     buffers = None
     resume_opt = resume_epoch = None
+    ref_extras = None
     if args.model_path:
         if args.model_path.endswith(".pth"):
             # a reference epoch_N.pth: full wav2vec2_linear_nll state dict
@@ -715,8 +724,8 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 2
             sd = ckpt.load_reference_head_checkpoint(args.model_path)
-            params, ssl_cfg = convert.from_reference_model_checkpoint(
-                sd, like=model.ssl
+            params, ssl_cfg, ref_extras = convert.from_reference_model_checkpoint(
+                sd, like=model.ssl, return_extras=True
             )
             if ssl_cfg.encoder_dim != model.ssl.encoder_dim:
                 print(f"warning: checkpoint SSL dim {ssl_cfg.encoder_dim} != "
@@ -731,6 +740,31 @@ def main(argv=None) -> int:
                 resume_opt = args.model_path  # full train state: exact resume
                 resume_epoch = int(extra.get("epoch", -1)) + 1
             print(f"loaded checkpoint {args.model_path} (extra={extra})")
+    # --- reverse migration: write a reference-loadable .pth --------------------
+    if args.export_reference_ckpt:
+        from scl_deepfake_audio_detection_tpu.models import convert
+        from scl_deepfake_audio_detection_tpu.models.linear_nll import (
+            LinearNLL,
+        )
+
+        if not isinstance(model, LinearNLL):
+            print("--export_reference_ckpt maps onto the reference "
+                  "wav2vec2_linear_nll state dict; use --config conf-N-linear",
+                  file=sys.stderr)
+            return 2
+        if params is None or not args.model_path:
+            print("--export_reference_ckpt needs --model_path (exporting a "
+                  "random init is never what you want)", file=sys.stderr)
+            return 2
+        convert.save_reference_checkpoint(
+            params, args.export_reference_ckpt, extras=ref_extras
+        )
+        n = sum(x.size for x in jax.tree.leaves(params))
+        print(f"wrote reference checkpoint {args.export_reference_ckpt} "
+              f"({n / 1e6:.1f}M params"
+              + (", extras round-tripped" if ref_extras else "") + ")")
+        return 0
+
     # forward-only modes never read optimizer state: skip allocating AdamW
     # moments (2x param bytes of HBM) and skip the exact-resume re-load
     is_train_mode = not (args.eval or args.predict or args.emb or args.serve

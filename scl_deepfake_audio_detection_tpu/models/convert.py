@@ -274,8 +274,40 @@ def infer_config_from_fairseq_sd(sd: StateDict, like: XLSRConfig = None) -> XLSR
     )
 
 
+def _reference_consumed_keys(cfg: XLSRConfig, ssl_sd: StateDict) -> set:
+    """Key set :func:`from_reference_model_checkpoint` maps (everything else
+    in the checkpoint is an 'extra': BN state, fairseq pretraining heads)."""
+    keys = {"LL.weight", "LL.bias",
+            "backend.m_utt_level.weight", "backend.m_utt_level.bias"}
+    for slot in (0, 3, 6):
+        keys |= {f"backend.m_frame_level.{slot}.weight",
+                 f"backend.m_frame_level.{slot}.bias"}
+    s = "ssl_model.model."
+    for i in range(len(cfg.conv_layers)):
+        keys |= {f"{s}feature_extractor.conv_layers.{i}.0.weight",
+                 f"{s}feature_extractor.conv_layers.{i}.0.bias",
+                 f"{s}feature_extractor.conv_layers.{i}.2.1.weight",
+                 f"{s}feature_extractor.conv_layers.{i}.2.1.bias"}
+    for nm in ("layer_norm", "post_extract_proj"):
+        keys |= {f"{s}{nm}.weight", f"{s}{nm}.bias"}
+    pos = ("parametrizations.weight.original0",
+           "parametrizations.weight.original1") \
+        if "encoder.pos_conv.0.weight_g" not in ssl_sd else \
+        ("weight_g", "weight_v")
+    keys |= {f"{s}encoder.pos_conv.0.{p}" for p in pos + ("bias",)}
+    for i in range(cfg.encoder_layers):
+        for nm in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                   "self_attn.out_proj", "self_attn_layer_norm", "fc1", "fc2",
+                   "final_layer_norm"):
+            keys |= {f"{s}encoder.layers.{i}.{nm}.weight",
+                     f"{s}encoder.layers.{i}.{nm}.bias"}
+    keys |= {f"{s}encoder.layer_norm.weight", f"{s}encoder.layer_norm.bias"}
+    return keys
+
+
 def from_reference_model_checkpoint(
-    sd: StateDict, cfg: XLSRConfig = None, like: XLSRConfig = None
+    sd: StateDict, cfg: XLSRConfig = None, like: XLSRConfig = None,
+    return_extras: bool = False,
 ):
     """Full reference ``epoch_N.pth`` (the whole ``wav2vec2_linear_nll``
     Model state dict saved by ``main.py:44``) -> (complete LinearNLL param
@@ -292,6 +324,10 @@ def from_reference_model_checkpoint(
 
     ``cfg``: optional XLSRConfig; default introspects dims from the weights
     (XLS-R strides).  Pass explicitly for non-standard conv strides.
+
+    ``return_extras``: additionally return the unmapped key->tensor dict
+    (BatchNorm state, fairseq pretraining heads) so a later
+    :func:`to_reference_model_checkpoint` round-trips them byte-exactly.
     """
     ssl_sd = {
         k[len("ssl_model.model."):]: v
@@ -316,7 +352,176 @@ def from_reference_model_checkpoint(
             "out": _lin(sd, "backend.m_utt_level"),
         },
     }
-    return jax.tree.map(jnp.asarray, params), cfg
+    params = jax.tree.map(jnp.asarray, params)
+    if return_extras:
+        consumed = _reference_consumed_keys(cfg, ssl_sd)
+        extras = {k: v for k, v in sd.items() if k not in consumed}
+        return params, cfg, extras
+    return params, cfg
+
+
+def _torch_t(x):
+    import torch
+
+    # .copy(): jnp-backed buffers arrive read-only; torch wants writable
+    return torch.from_numpy(np.array(x, dtype=np.float32, copy=True))
+
+
+def _lin_inv(p: Mapping[str, Any], prefix: str, out: Dict[str, Any]) -> None:
+    out[f"{prefix}.weight"] = _torch_t(np.asarray(p["w"]).T)
+    out[f"{prefix}.bias"] = _torch_t(p["b"])
+
+
+def _ln_inv(p: Mapping[str, Any], prefix: str, out: Dict[str, Any]) -> None:
+    out[f"{prefix}.weight"] = _torch_t(p["scale"])
+    out[f"{prefix}.bias"] = _torch_t(p["bias"])
+
+
+def _conv_inv(p: Mapping[str, Any], prefix: str, out: Dict[str, Any]) -> None:
+    out[f"{prefix}.weight"] = _torch_t(np.transpose(np.asarray(p["w"]), (2, 1, 0)))
+    if "b" in p:
+        out[f"{prefix}.bias"] = _torch_t(p["b"])
+
+
+def _unstack_layers(stacked) -> list:
+    """Inverse of ``_assemble``'s stacking: split the leading layer axis."""
+    import jax
+
+    leaves = jax.tree.leaves(stacked)
+    n = int(np.asarray(leaves[0]).shape[0])
+    return [jax.tree.map(lambda x: np.asarray(x)[i], stacked) for i in range(n)]
+
+
+def to_fairseq_state_dict(ssl_params: Mapping[str, Any]) -> Dict[str, Any]:
+    """XLSR param pytree -> fairseq ``Wav2Vec2Model`` state dict (torch
+    tensors, fp32) — the exact inverse of :func:`from_fairseq_state_dict`.
+
+    The positional conv is re-split into torch ``weight_norm`` ``(g, v)``
+    with ``v = w`` and ``g = ||w||_(0,1)`` — the contraction
+    ``g * v / ||v||`` reproduces our kernel bit-exactly, but the original
+    checkpoint's (g, v) factorization is not recoverable (only the product
+    survives conversion); the forward pass is identical either way.
+    """
+    sd: Dict[str, Any] = {}
+    for i, blk in enumerate(ssl_params["feature_extractor"]["convs"]):
+        _conv_inv(blk["conv"], f"feature_extractor.conv_layers.{i}.0", sd)
+        _ln_inv(blk["ln"], f"feature_extractor.conv_layers.{i}.2.1", sd)
+    _ln_inv(ssl_params["post_extract_ln"], "layer_norm", sd)
+    _lin_inv(ssl_params["proj"], "post_extract_proj", sd)
+
+    w_t = np.transpose(
+        np.asarray(ssl_params["pos_conv"]["w"], dtype=np.float32), (2, 1, 0)
+    )
+    g = np.sqrt(np.sum(w_t.astype(np.float64) ** 2, axis=(0, 1), keepdims=True))
+    sd["encoder.pos_conv.0.weight_g"] = _torch_t(g)
+    sd["encoder.pos_conv.0.weight_v"] = _torch_t(w_t)
+    sd["encoder.pos_conv.0.bias"] = _torch_t(ssl_params["pos_conv"]["b"])
+
+    for i, lp in enumerate(_unstack_layers(ssl_params["encoder"]["layers"])):
+        pre = f"encoder.layers.{i}"
+        _ln_inv(lp["ln_attn"], f"{pre}.self_attn_layer_norm", sd)
+        _lin_inv(lp["attn"]["q"], f"{pre}.self_attn.q_proj", sd)
+        _lin_inv(lp["attn"]["k"], f"{pre}.self_attn.k_proj", sd)
+        _lin_inv(lp["attn"]["v"], f"{pre}.self_attn.v_proj", sd)
+        _lin_inv(lp["attn"]["o"], f"{pre}.self_attn.out_proj", sd)
+        _ln_inv(lp["ln_ffn"], f"{pre}.final_layer_norm", sd)
+        _lin_inv(lp["fc1"], f"{pre}.fc1", sd)
+        _lin_inv(lp["fc2"], f"{pre}.fc2", sd)
+    _ln_inv(ssl_params["encoder"]["final_ln"], "encoder.layer_norm", sd)
+    return sd
+
+
+def _bn2d_defaults(n: int, prefix: str, out: Dict[str, Any]) -> None:
+    import torch
+
+    out[f"{prefix}.weight"] = torch.ones(n)
+    out[f"{prefix}.bias"] = torch.zeros(n)
+    out[f"{prefix}.running_mean"] = torch.zeros(n)
+    out[f"{prefix}.running_var"] = torch.ones(n)
+    out[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+
+def to_reference_model_checkpoint(
+    params: Mapping[str, Any],
+    extras: Mapping[str, Any] = None,
+    pretraining_stubs: bool = True,
+) -> Dict[str, Any]:
+    """Complete LinearNLL param pytree -> reference ``wav2vec2_linear_nll``
+    ``epoch_N.pth`` state dict — the inverse of
+    :func:`from_reference_model_checkpoint`, so a model trained (or
+    fine-tuned) in this framework can be deployed with the unmodified
+    reference stack (``main.py --model_path``).
+
+    Emits every key the reference ``Model`` declares (``wav2vec2_linear_nll.
+    py:95-113``): the embedded fairseq SSL as ``ssl_model.model.*``, the
+    head (``LL``, ``backend.m_frame_level.{0,3,6}``, ``backend.m_utt_level``)
+    and the declared-but-unused ``first_bn``/``first_bn1`` BatchNorms at
+    their torch defaults (their forward is never called, ``:120-136``).
+
+    ``pretraining_stubs``: fairseq's ``Wav2Vec2Model`` also declares its
+    pretraining heads (``mask_emb``, ``quantizer``, ``project_q``,
+    ``final_proj``) which a strict ``load_state_dict`` requires even though
+    ``extract_feat(features_only=True)`` never touches them.  True emits
+    zero-filled tensors shaped for the published XLS-R pretraining config
+    (final_dim 768, 2 groups x 320 codewords); if a strict load still
+    complains on an exotic SSL variant, re-export passing ``extras``
+    captured from an existing reference checkpoint
+    (``from_reference_model_checkpoint(..., return_extras=True)``), or load
+    with ``strict=False``.
+
+    ``extras``: passthrough key->tensor mapping applied last (overrides
+    stubs/BN defaults) — preserves quantizer/mask_emb/BN state byte-exactly
+    when round-tripping a converted reference checkpoint.
+    """
+    ssl_sd = to_fairseq_state_dict(params["ssl"])
+    sd: Dict[str, Any] = {f"ssl_model.model.{k}": v for k, v in ssl_sd.items()}
+
+    _lin_inv(params["ll"], "LL", sd)
+    for slot, lp in zip((0, 3, 6), params["backend"]["frame"]):
+        _lin_inv(lp, f"backend.m_frame_level.{slot}", sd)
+    _lin_inv(params["backend"]["out"], "backend.m_utt_level", sd)
+    _bn2d_defaults(1, "first_bn", sd)
+    _bn2d_defaults(64, "first_bn1", sd)
+
+    if pretraining_stubs:
+        import torch
+
+        d = int(np.asarray(params["ssl"]["post_extract_ln"]["scale"]).shape[0])
+        ext = int(
+            np.asarray(
+                params["ssl"]["feature_extractor"]["convs"][-1]["ln"]["scale"]
+            ).shape[0]
+        )
+        final_dim, groups, vars_ = 768, 2, 320
+        stub = {
+            "mask_emb": torch.zeros(d),
+            "quantizer.vars": torch.zeros(1, groups * vars_, final_dim // groups),
+            "quantizer.weight_proj.weight": torch.zeros(groups * vars_, ext),
+            "quantizer.weight_proj.bias": torch.zeros(groups * vars_),
+            "project_q.weight": torch.zeros(final_dim, final_dim),
+            "project_q.bias": torch.zeros(final_dim),
+            "final_proj.weight": torch.zeros(final_dim, d),
+            "final_proj.bias": torch.zeros(final_dim),
+        }
+        for k, v in stub.items():
+            sd.setdefault(f"ssl_model.model.{k}", v)
+
+    if extras:
+        import torch
+
+        for k, v in extras.items():
+            t = v if hasattr(v, "dim") else torch.from_numpy(np.asarray(v))
+            sd[k] = t
+    return sd
+
+
+def save_reference_checkpoint(
+    params: Mapping[str, Any], path: str, extras: Mapping[str, Any] = None
+) -> None:
+    """Write a reference-loadable ``.pth`` (torch pickle of the state dict)."""
+    import torch
+
+    torch.save(to_reference_model_checkpoint(params, extras=extras), path)
 
 
 def load_fairseq_checkpoint(path: str):

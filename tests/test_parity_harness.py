@@ -209,3 +209,98 @@ def test_parity_check_skips_missing_audio(golden, tmp_path):
         "--parity_check", scores,
     ])
     assert rc == 0
+
+
+# --- reverse migration: our params -> reference-loadable .pth ----------------
+
+
+def test_reference_export_roundtrip_from_init():
+    """to_reference_model_checkpoint is the exact inverse of the importer:
+    exporting a fresh param pytree and re-importing it reproduces every
+    weight (pos_conv within one float rounding of the weight-norm split)."""
+    pytest.importorskip("torch")
+    cfg = XLSRConfig.tiny()
+    model = LinearNLL(ssl=cfg)
+    params = model.init(jax.random.key(3))
+    sd = convert.to_reference_model_checkpoint(params)
+
+    # every key the reference Model declares is present (strict-load shape)
+    for k in ("LL.weight", "backend.m_utt_level.bias", "first_bn.running_var",
+              "first_bn1.num_batches_tracked",
+              "ssl_model.model.encoder.pos_conv.0.weight_g",
+              "ssl_model.model.mask_emb",
+              "ssl_model.model.quantizer.vars"):
+        assert k in sd, k
+
+    p2, cfg2 = convert.from_reference_model_checkpoint(sd, like=cfg)
+    assert cfg2.encoder_layers == cfg.encoder_layers
+    assert jax.tree.structure(p2) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_reference_export_extras_byte_exact():
+    """Round-tripping a reference .pth preserves the unmapped tensors
+    (BatchNorm state, fairseq pretraining heads) byte-exactly and reproduces
+    the mapped weights; only the weight-norm (g, v) split is re-factorized
+    (the product — the effective kernel — survives to float rounding)."""
+    torch = pytest.importorskip("torch")
+    cfg = XLSRConfig.tiny()
+    rng = np.random.default_rng(7)
+    sd = _reference_pth_dict(cfg, rng)
+    # make the dead BN entries non-default so passthrough is observable
+    sd["first_bn.running_mean"] = np.asarray([0.25], np.float32)
+    sd["ssl_model.model.mask_emb"] = np.asarray(
+        rng.normal(size=cfg.encoder_dim), np.float32
+    )
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    params, _, extras = convert.from_reference_model_checkpoint(
+        sd, like=cfg, return_extras=True
+    )
+    assert "first_bn.running_mean" in extras and "ssl_model.model.mask_emb" in extras
+    sd2 = convert.to_reference_model_checkpoint(params, extras=extras)
+
+    assert set(sd2) >= set(sd)
+    wn = "ssl_model.model.encoder.pos_conv.0.weight_"
+    for k, v in sd.items():
+        got = sd2[k].float()
+        if k.startswith(wn):
+            continue  # compared as the contracted product below
+        assert torch.equal(got, v.float()), k
+
+    # weight-norm (g, v) is re-factorized canonically (g = ||w||); the
+    # effective kernel g*v/||v|| — all the forward ever sees — must match
+    def _contract(d):
+        g = d[wn + "g"].double().numpy()
+        v = d[wn + "v"].double().numpy()
+        return g * v / np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+
+    np.testing.assert_allclose(_contract(sd2), _contract(sd), atol=1e-6)
+
+
+def test_cli_export_reference_ckpt(golden, tmp_path):
+    """--export_reference_ckpt writes a .pth the importer maps back to the
+    identical pytree (reference-stack deployment of a TPU-trained model)."""
+    torch = pytest.importorskip("torch")
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    root, utts, pth, yaml = golden
+    out = str(tmp_path / "exported.pth")
+    rc = main([
+        "--config", yaml, "--database_path", str(root) + "/",
+        "--model_path", pth, "--ssl_preset", "tiny",
+        "--export_reference_ckpt", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+    orig = torch.load(pth, map_location="cpu", weights_only=False)
+    got = torch.load(out, map_location="cpu", weights_only=False)
+    assert set(got) >= set(orig)
+    p1, _ = convert.from_reference_model_checkpoint(orig, like=XLSRConfig.tiny())
+    p2, _ = convert.from_reference_model_checkpoint(got, like=XLSRConfig.tiny())
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # dead-path BN state rides along byte-exactly
+    assert torch.equal(got["first_bn.running_mean"].float(),
+                       orig["first_bn.running_mean"].float())
