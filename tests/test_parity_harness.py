@@ -304,3 +304,33 @@ def test_cli_export_reference_ckpt(golden, tmp_path):
     # dead-path BN state rides along byte-exactly
     assert torch.equal(got["first_bn.running_mean"].float(),
                        orig["first_bn.running_mean"].float())
+
+
+def test_cli_export_reference_ckpt_from_own_ckpt(golden, tmp_path):
+    """The TPU-training workflow: our own .ckpt (npz) exports to a .pth that
+    re-imports to the same weights — no reference .pth ever involved."""
+    pytest.importorskip("torch")
+    from scl_deepfake_audio_detection_tpu.cli import main
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+
+    root, utts, pth, yaml = golden
+    cfg = XLSRConfig.tiny()
+    model = LinearNLL(ssl=cfg)
+    params = model.init(jax.random.key(9))
+    own = str(tmp_path / "own.ckpt")
+    ckpt.save(own, {"params": params})
+
+    out = str(tmp_path / "from_own.pth")
+    rc = main([
+        "--config", yaml, "--database_path", str(root) + "/",
+        "--model_path", own, "--ssl_preset", "tiny",
+        "--export_reference_ckpt", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    import torch
+    p2, _ = convert.from_reference_model_checkpoint(
+        torch.load(out, map_location="cpu", weights_only=False), like=cfg
+    )
+    assert jax.tree.structure(p2) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
