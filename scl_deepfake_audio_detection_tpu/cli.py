@@ -707,6 +707,8 @@ def main(argv=None) -> int:
               else _init_params(args, model, rng_key))
     buffers = None
     resume_opt = resume_epoch = None
+    resume_counter = None
+    resume_extra = {}
     ref_extras = None
     if args.model_path:
         if args.model_path.endswith(".pth"):
@@ -739,6 +741,7 @@ def main(argv=None) -> int:
             if isinstance(tree, dict) and "opt_state_leaves" in tree:
                 resume_opt = args.model_path  # full train state: exact resume
                 resume_epoch = int(extra.get("epoch", -1)) + 1
+                resume_extra = extra
             print(f"loaded checkpoint {args.model_path} (extra={extra})")
     # --- reverse migration: write a reference-loadable .pth --------------------
     if args.export_reference_ckpt:
@@ -789,6 +792,9 @@ def main(argv=None) -> int:
         )
         params = shard_params(params, engine.mesh)
         buffers = shard_params(b2, engine.mesh) if b2 else buffers
+        # EarlyStop patience counter at save time (absent in pre-round-3
+        # checkpoints: those resume with a fresh counter)
+        resume_counter = int(resume_extra.get("es_counter", 0))
         if args.start_epoch == 0 and resume_epoch:
             train_cfg.start_epoch = resume_epoch
             print(f"resuming full train state at epoch {resume_epoch} "
@@ -1340,6 +1346,7 @@ def main(argv=None) -> int:
         ),
         profile_dir=args.profile_dir,
         resume_best=resume_best,
+        resume_counter=resume_counter,
     )
     print(f"Total training time: {time.time() - t0}s")
     return 0

@@ -221,9 +221,15 @@ def pack_opt_leaves(opt_state) -> dict:
 def save_train_state(
     path: str, params, opt_state, epoch: int, rng_key, best: float,
     buffers=None, writer: "Optional[AsyncWriter]" = None,
+    es_counter: int = 0,
 ) -> None:
     """Full-state checkpoint: everything needed for exact resume (params,
     optimizer, BN running-stat buffers, epoch, RNG).
+
+    ``es_counter``: the EarlyStop patience counter at save time — persisted
+    so a resumed run stops at exactly the epoch an uninterrupted run would
+    (reference EarlyStop state, ``main.py:23-45``; without it a resume could
+    train up to ``patience`` epochs longer).
 
     ``writer``: optional ``AsyncWriter`` — the device->host gather still runs
     here synchronously (collective order; donated device buffers), but the
@@ -235,7 +241,7 @@ def save_train_state(
     }
     if buffers:
         state["buffers"] = buffers
-    extra = {"epoch": epoch, "best": best}
+    extra = {"epoch": epoch, "best": best, "es_counter": int(es_counter)}
     if writer is None:
         save(path, state, extra=extra)
     else:
@@ -305,7 +311,15 @@ def load_train_state(path: str, opt_state_template):
     # chip instead of 2x/N — and on a multi-process mesh the first step
     # would reject the host-local arrays outright
     def _placed_like(tmpl, loaded):
-        if isinstance(tmpl, jax.Array) and hasattr(tmpl, "sharding"):
+        # Re-place ONLY mesh-sharded leaves (NamedSharding — what ZeRO-1 /
+        # shard_opt_state produce).  Committing every leaf to its template's
+        # placement would pin eagerly-created scalars (optax's ``count``) to
+        # SingleDeviceSharding(device 0), which then CONFLICTS with the
+        # mesh-replicated params at the first resumed train step on any
+        # multi-device mesh.  Host numpy stays uncommitted and adapts.
+        if isinstance(tmpl, jax.Array) and isinstance(
+            getattr(tmpl, "sharding", None), jax.sharding.NamedSharding
+        ):
             return jax.device_put(loaded, tmpl.sharding)
         return loaded
 

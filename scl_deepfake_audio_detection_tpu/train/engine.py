@@ -238,6 +238,7 @@ class Engine:
         tensorboard_dir: Optional[str] = None,
         profile_dir: Optional[str] = None,
         resume_best: Optional[float] = None,
+        resume_counter: Optional[int] = None,
     ):
         """Full training run with per-epoch cyclic LR, early stop on dev
         accuracy, best-checkpoint saving, JSONL metrics, optional tensorboard
@@ -254,8 +255,13 @@ class Engine:
         if resume_best is not None and resume_best > stopper.best:
             # restore the checkpoint's best-accuracy watermark so a resumed
             # run doesn't crown spurious 'best' epochs below the real best
-            # (the patience counter is not persisted; it restarts fresh)
             stopper.best = float(resume_best)
+        if resume_counter:
+            # restore the patience counter too, so the resumed run stops at
+            # exactly the epoch an uninterrupted run would (reference
+            # EarlyStop state, ``main.py:23-45``); pre-counter checkpoints
+            # resume with a fresh counter (None/0)
+            stopper.counter = max(int(resume_counter), 0)
         ckpt_every = max(int(getattr(cfg, "ckpt_every", 1)), 1)
         writer = ckpt.AsyncWriter() if getattr(cfg, "async_ckpt", True) else None
         last_epoch = cfg.start_epoch + cfg.num_epochs - 1
@@ -317,12 +323,14 @@ class Engine:
                         os.path.join(save_dir, "last.ckpt"),
                         params, opt_state, epoch, rng_key, stopper.best,
                         buffers=buffers, writer=writer,
+                        es_counter=stopper.counter,
                     )
                 if is_best:
                     ckpt.save_train_state(
                         os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
                         params, opt_state, epoch, rng_key, stopper.best,
                         buffers=buffers, writer=writer,
+                        es_counter=stopper.counter,
                     )
             if stopper.early_stop:
                 break

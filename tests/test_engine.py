@@ -462,3 +462,61 @@ def test_fit_restores_resume_best(tmp_path):
              dev_batches=lambda: iter([batch]),
              rng_key=jax.random.key(1), save_dir=save2)
     assert [f for f in os.listdir(save2) if f.startswith("epoch_")]
+
+
+def test_resume_mid_patience_stops_at_same_epoch(tmp_path):
+    """EarlyStop patience persists across resume: a run interrupted
+    mid-patience and resumed from last.ckpt must stop at EXACTLY the epoch
+    an uninterrupted run stops at (reference EarlyStop state is process-held,
+    ``main.py:23-45`` — resume there restarts patience; we persist it)."""
+    import os
+
+    def make_engine(num_epochs, start_epoch=0):
+        model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+        eng = Engine(model, TrainConfig(
+            max_lr=1e-4, num_epochs=num_epochs, start_epoch=start_epoch))
+        # constant 95% dev accuracy: epoch 0 crowns the best (95 > 90+delta),
+        # every later epoch strikes the patience counter (patience=10), so an
+        # uninterrupted run stops after epoch 10 exactly
+        eng.run_validation = lambda *a, **kw: {"accuracy": 0.95, "loss": 1.0}
+        return eng
+
+    rng = np.random.default_rng(0)
+    batch = {"wav": rng.normal(size=(1, 4, 1600)).astype(np.float32),
+             "labels": np.tile([1.0, 1.0, 0.0, 0.0], (1, 1)).astype(np.float32)}
+    kw = dict(train_batches=lambda: iter([batch]),
+              dev_batches=lambda: iter([batch]))
+
+    # uninterrupted run: stops after epoch index 10 (1 best + 10 strikes)
+    eng = make_engine(num_epochs=30)
+    p, b, o = eng.init_state(jax.random.key(0))
+    logs = []
+    eng.fit(p, b, o, rng_key=jax.random.key(1),
+            save_dir=str(tmp_path / "full"),
+            log_fn=lambda e, r: logs.append(e), **kw)
+    assert logs[-1] == 10, logs
+
+    # interrupted at epoch 5 (counter=5 in last.ckpt) ...
+    eng_a = make_engine(num_epochs=6)
+    pa, ba, oa = eng_a.init_state(jax.random.key(0))
+    save_a = str(tmp_path / "part")
+    eng_a.fit(pa, ba, oa, rng_key=jax.random.key(1), save_dir=save_a, **kw)
+    last = os.path.join(save_a, "last.ckpt")
+    _, extra = ckpt.load(last)
+    assert int(extra["epoch"]) == 5 and int(extra["es_counter"]) == 5
+
+    # ... and resumed (the CLI wiring: load_train_state + extra's es_counter)
+    eng_b = make_engine(num_epochs=30, start_epoch=6)
+    pb, bb, ob = eng_b.init_state(jax.random.key(0))
+    pb, bb, ob, epoch, rng_key, best = ckpt.load_train_state(last, ob)
+    from scl_deepfake_audio_detection_tpu.parallel import shard_params
+
+    pb = shard_params(pb, eng_b.mesh)  # the CLI re-shards after load too
+    logs_b = []
+    eng_b.fit(pb, bb, ob, rng_key=rng_key,
+              save_dir=str(tmp_path / "resumed"),
+              log_fn=lambda e, r: logs_b.append(e),
+              resume_best=best, resume_counter=int(extra["es_counter"]), **kw)
+    # identical stop epoch: 6..10 = strikes 6..10, stop after epoch 10 —
+    # NOT epoch 15 (what a restarted counter would give)
+    assert logs_b[-1] == 10, logs_b
