@@ -679,6 +679,12 @@ def main(argv=None) -> int:
                   "model itself, not an artifact; run them with "
                   "--model_path/--config", file=sys.stderr)
             return 2
+        if args.export_reference_ckpt:
+            print("--export_reference_ckpt cannot reverse-migrate an export "
+                  "artifact (it carries compiled StableHLO + flat weights, "
+                  "no raw param pytree); export from the original checkpoint "
+                  "with --model_path instead", file=sys.stderr)
+            return 2
         from scl_deepfake_audio_detection_tpu.export import load_scorer
 
         scorer = load_scorer(args.from_export)

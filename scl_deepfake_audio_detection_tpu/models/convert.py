@@ -285,9 +285,14 @@ def _reference_consumed_keys(cfg: XLSRConfig, ssl_sd: StateDict) -> set:
     s = "ssl_model.model."
     for i in range(len(cfg.conv_layers)):
         keys |= {f"{s}feature_extractor.conv_layers.{i}.0.weight",
-                 f"{s}feature_extractor.conv_layers.{i}.0.bias",
                  f"{s}feature_extractor.conv_layers.{i}.2.1.weight",
                  f"{s}feature_extractor.conv_layers.{i}.2.1.bias"}
+        if cfg.conv_bias:
+            # only consumed when the importer maps it (from_fairseq_state_dict
+            # passes cfg.conv_bias to _conv); with an explicit
+            # cfg(conv_bias=False) and a checkpoint that carries biases, the
+            # unmapped biases must survive as extras for round-trip export
+            keys.add(f"{s}feature_extractor.conv_layers.{i}.0.bias")
     for nm in ("layer_norm", "post_extract_proj"):
         keys |= {f"{s}{nm}.weight", f"{s}{nm}.bias"}
     pos = ("parametrizations.weight.original0",
@@ -493,6 +498,17 @@ def to_reference_model_checkpoint(
             ).shape[0]
         )
         final_dim, groups, vars_ = 768, 2, 320
+        if d != 1024 and not (extras and "ssl_model.model.mask_emb" in extras):
+            import warnings
+
+            warnings.warn(
+                f"pretraining-head stubs assume the published XLS-R-300m "
+                f"geometry (final_dim=768, 2x320 codewords) but this SSL has "
+                f"encoder_dim={d}; a strict reference load_state_dict may "
+                f"reject the stub shapes — pass extras captured from a real "
+                f"checkpoint of this variant, or load with strict=False",
+                stacklevel=2,
+            )
         stub = {
             "mask_emb": torch.zeros(d),
             "quantizer.vars": torch.zeros(1, groups * vars_, final_dim // groups),

@@ -324,6 +324,23 @@ def test_cli_from_export_flag_validation(tmp_path):
                  "--export_model", str(tmp_path / "a2")]) == 2
     assert main(["--from_export", art, "--eval",
                  "--parity_check", "ref.txt"]) == 2
+    # reverse migration impossible from an artifact (no raw param pytree)
+    assert main(["--from_export", art, "--eval",
+                 "--export_reference_ckpt", str(tmp_path / "o.pth")]) == 2
+
+
+def test_cli_from_export_reverse_migration_message(tmp_path, capsys):
+    """The --from_export + --export_reference_ckpt rejection must explain the
+    real incompatibility (artifacts carry no raw params), not the generic
+    'use --config conf-N-linear' hint (ADVICE r2)."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rc = main(["--from_export", str(tmp_path / "missing"), "--eval",
+               "--export_reference_ckpt", str(tmp_path / "o.pth")])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "cannot reverse-migrate an export artifact" in err
+    assert "conf-N-linear" not in err
 
 
 def test_cli_verify_export(tmp_path):

@@ -334,3 +334,49 @@ def test_cli_export_reference_ckpt_from_own_ckpt(golden, tmp_path):
     assert jax.tree.structure(p2) == jax.tree.structure(params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_conv_bias_false_keeps_biases_as_extras():
+    """With an explicit cfg(conv_bias=False) and a checkpoint that carries
+    conv biases, the unmapped biases must land in extras (not vanish), so a
+    round-trip export preserves them for a strict reference load (ADVICE r2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(XLSRConfig.tiny(), conv_bias=False)
+    rng = np.random.default_rng(3)
+    # build the sd against a bias-carrying twin, then import with conv_bias
+    # forced off
+    sd = _reference_pth_dict(dataclasses.replace(cfg, conv_bias=True), rng)
+    params, _, extras = convert.from_reference_model_checkpoint(
+        sd, cfg=cfg, return_extras=True
+    )
+    bias_keys = {
+        f"ssl_model.model.feature_extractor.conv_layers.{i}.0.bias"
+        for i in range(len(cfg.conv_layers))
+    }
+    assert bias_keys <= set(extras), sorted(extras)
+    assert all("b" not in c["conv"] for c in
+               params["ssl"]["feature_extractor"]["convs"])
+    # and the round-trip export carries them back byte-exactly
+    sd2 = convert.to_reference_model_checkpoint(params, extras=extras)
+    for k in bias_keys:
+        np.testing.assert_array_equal(np.asarray(sd2[k]), sd[k])
+
+
+def test_export_warns_on_non_300m_stub_geometry():
+    """Pretraining stubs hardcode XLS-R-300m quantizer geometry; exporting a
+    non-1024-dim SSL must warn that a strict reference load may reject the
+    stub shapes (ADVICE r2) — unless real extras override the stubs."""
+    cfg = XLSRConfig.tiny()  # encoder_dim != 1024
+    model = LinearNLL(ssl=cfg)
+    params = model.init(jax.random.key(0))
+    with pytest.warns(UserWarning, match="XLS-R-300m"):
+        convert.to_reference_model_checkpoint(params)
+    # real captured extras silence it (the stubs are never used then)
+    import warnings
+
+    import torch
+    extras = {"ssl_model.model.mask_emb": torch.zeros(cfg.encoder_dim)}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        convert.to_reference_model_checkpoint(params, extras=extras)
