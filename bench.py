@@ -53,6 +53,72 @@ def _accelerator_responsive(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _train_ms_per_step(on_tpu: bool) -> float:
+    """One warm differenced-scan train step (the methodology of
+    scripts/measure_train_step.py, k=3/9 so per-dispatch tunnel overhead
+    cancels) — pins the train-step claim mechanically every round the way
+    the eval number is.  TPU: the production conf-3 shape (2 groups x 11
+    views x 64000 samples, XLS-R 300M, bf16 + 'attn' remat; ~118-119 ms
+    measured round 2).  CPU fallback: the tiny smoke model so the line
+    never hard-fails."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+    from scl_deepfake_audio_detection_tpu.train.engine import _train_step
+    from scl_deepfake_audio_detection_tpu.train.optim import (
+        make_optimizer,
+        set_learning_rate,
+    )
+
+    if on_tpu:
+        ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16", remat=True)
+        g, v, t = 2, 11, 64000
+    else:
+        ssl = XLSRConfig.tiny(remat=True)
+        g, v, t = 1, 4, 3200
+    model = LinearNLL(ssl=ssl)
+    optimizer = make_optimizer(1e-4)
+    params = jax.jit(model.init)(jax.random.key(0))
+    opt_state = set_learning_rate(optimizer.init(params), 1e-5)
+    rng = np.random.default_rng(0)
+    labels = ([1] * 5 + [0] * 6) if v == 11 else ([1] * 2 + [0] * 2)
+    batch = {
+        "wav": jnp.asarray(rng.normal(size=(g, v, t)).astype(np.float32) * 0.1),
+        "labels": jnp.asarray(np.tile(np.array(labels, np.float32), (g, 1))),
+    }
+    step = functools.partial(
+        _train_step, model=model, optimizer=optimizer, loss_scope="group"
+    )
+
+    def chained(params, opt_state, k):
+        def body(carry, i):
+            p, o = carry
+            p, _, o, m = step(
+                p, {}, o, batch, jax.random.fold_in(jax.random.key(1), i)
+            )
+            return (p, o), m["loss"]
+
+        (_, _), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(k)
+        )
+        return losses[-1]
+
+    times = {}
+    k1, k2 = (3, 9) if on_tpu else (1, 3)
+    for k in (k1, k2):
+        f = jax.jit(functools.partial(chained, k=k))
+        float(f(params, opt_state))  # compile + warm run
+        t0 = time.perf_counter()
+        loss = float(f(params, opt_state))  # host readback ends timing
+        times[k] = time.perf_counter() - t0
+        assert np.isfinite(loss)
+    return (times[k2] - times[k1]) / (k2 - k1) * 1000
+
+
 def main() -> int:
     if not _accelerator_responsive():
         # force CPU BEFORE the first in-process backend init (config beats
@@ -106,6 +172,12 @@ def main() -> int:
     assert np.isfinite(checksum)
 
     utt_per_sec = batch * iters / dt
+    del params, out  # free the eval weights before the train-step measure
+    try:
+        train_ms = round(_train_ms_per_step(on_tpu), 1)
+    except Exception as e:  # never let the train probe kill the eval line
+        print(f"train-step probe failed: {e}", file=sys.stderr)
+        train_ms = None
     baseline = _baseline_utt_per_sec()
     result = {
         "metric": "eval_utterances_per_sec_per_chip",
@@ -130,6 +202,11 @@ def main() -> int:
             "model": "xlsr_300m+linear_nll" if on_tpu else "tiny smoke",
             "dtype": ssl.compute_dtype,
             "attention": ssl.attention_impl,
+            # differenced-scan train step (scripts/measure_train_step.py
+            # methodology) at the conf-3 production shape 2x11x64000
+            # (tiny shapes on the CPU smoke fallback)
+            "train_ms_per_step": train_ms,
+            "train_shape": "2x11x64000" if on_tpu else "1x4x3200 smoke",
         },
     }
     print(json.dumps(result))
