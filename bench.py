@@ -12,7 +12,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -54,32 +53,30 @@ def _accelerator_responsive(timeout_s: float = 180.0) -> bool:
 
 
 def _train_ms_per_step(on_tpu: bool) -> float:
-    """One warm differenced-scan train step (the methodology of
-    scripts/measure_train_step.py, k=3/9 so per-dispatch tunnel overhead
-    cancels) — pins the train-step claim mechanically every round the way
-    the eval number is.  TPU: the production conf-3 shape (2 groups x 11
-    views x 64000 samples, XLS-R 300M, bf16 + 'attn' remat; ~118-119 ms
-    measured round 2).  CPU fallback: the tiny smoke model so the line
-    never hard-fails."""
-    import functools
-
+    """One warm differenced-scan train step (utils/measure.train_ms_per_step
+    — the same helper scripts/measure_train_step.py sweeps with, so the
+    number bench pins every round IS the number the sweep tool measures).
+    TPU: the production conf-3 shape (2 groups x 11 views x 64000 samples,
+    XLS-R 300M, bf16 + 'attn' remat; ~118-121 ms measured rounds 2-3).
+    CPU fallback: the tiny smoke model."""
     import jax
-    import jax.numpy as jnp
 
     from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
     from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
-    from scl_deepfake_audio_detection_tpu.train.engine import _train_step
     from scl_deepfake_audio_detection_tpu.train.optim import (
         make_optimizer,
         set_learning_rate,
     )
+    from scl_deepfake_audio_detection_tpu.utils.measure import (
+        train_ms_per_step,
+    )
 
     if on_tpu:
         ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16", remat=True)
-        g, v, t = 2, 11, 64000
+        g, v, t, (k1, k2) = 2, 11, 64000, (3, 9)
     else:
         ssl = XLSRConfig.tiny(remat=True)
-        g, v, t = 1, 4, 3200
+        g, v, t, (k1, k2) = 1, 4, 3200, (1, 3)
     model = LinearNLL(ssl=ssl)
     optimizer = make_optimizer(1e-4)
     params = jax.jit(model.init)(jax.random.key(0))
@@ -87,36 +84,50 @@ def _train_ms_per_step(on_tpu: bool) -> float:
     rng = np.random.default_rng(0)
     labels = ([1] * 5 + [0] * 6) if v == 11 else ([1] * 2 + [0] * 2)
     batch = {
-        "wav": jnp.asarray(rng.normal(size=(g, v, t)).astype(np.float32) * 0.1),
-        "labels": jnp.asarray(np.tile(np.array(labels, np.float32), (g, 1))),
+        "wav": rng.normal(size=(g, v, t)).astype(np.float32) * 0.1,
+        "labels": np.tile(np.array(labels, np.float32), (g, 1)),
     }
-    step = functools.partial(
-        _train_step, model=model, optimizer=optimizer, loss_scope="group"
+    return train_ms_per_step(
+        model, optimizer, params, opt_state, batch, k1=k1, k2=k2
     )
 
-    def chained(params, opt_state, k):
-        def body(carry, i):
-            p, o = carry
-            p, _, o, m = step(
-                p, {}, o, batch, jax.random.fold_in(jax.random.key(1), i)
+
+def _train_ms_probe(on_tpu: bool, timeout_s: float = 1500.0):
+    """Run _train_ms_per_step TIME-BOXED in a subprocess and sanity-check the
+    result, so a tunnel hang or latency spike during the train probe can
+    never cost the round its already-measured eval line (the startup probe
+    exists for exactly this failure mode).  Returns ms or None; one retry on
+    an implausible difference (a spike on one of the two scan timings makes
+    the differenced value negative or wild)."""
+    import subprocess
+
+    code = (
+        "import jax\n"
+        + ("" if on_tpu else "jax.config.update('jax_platforms', 'cpu')\n")
+        + "import bench\n"
+        + f"print('TRAIN_MS=%r' % bench._train_ms_per_step({on_tpu}))\n"
+    )
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, cwd=repo,
+                capture_output=True, text=True, env=env,
             )
-            return (p, o), m["loss"]
-
-        (_, _), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(k)
-        )
-        return losses[-1]
-
-    times = {}
-    k1, k2 = (3, 9) if on_tpu else (1, 3)
-    for k in (k1, k2):
-        f = jax.jit(functools.partial(chained, k=k))
-        float(f(params, opt_state))  # compile + warm run
-        t0 = time.perf_counter()
-        loss = float(f(params, opt_state))  # host readback ends timing
-        times[k] = time.perf_counter() - t0
-        assert np.isfinite(loss)
-    return (times[k2] - times[k1]) / (k2 - k1) * 1000
+        except subprocess.TimeoutExpired:
+            print("train-step probe timed out", file=sys.stderr)
+            return None
+        ms = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("TRAIN_MS="):
+                ms = float(line.split("=", 1)[1])
+        if ms is not None and 0.0 < ms < 10000.0:
+            return round(ms, 1)
+        print(f"train-step probe implausible (attempt {attempt}): {ms!r} "
+              f"rc={proc.returncode} {proc.stderr[-500:]}", file=sys.stderr)
+    return None
 
 
 def main() -> int:
@@ -142,42 +153,30 @@ def main() -> int:
         batch, samples, iters, warmup = 4, 6460, 3, 1
 
     from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
+    from scl_deepfake_audio_detection_tpu.utils.measure import (
+        chained_eval_throughput,
+    )
 
     model = LinearNLL(ssl=ssl)
     params = model.init(jax.random.key(0))
     # inference-only: one host-side cast instead of per-call weight converts
     params = cast_matmul_params(params, ssl.compute_dtype)
 
-    @jax.jit
-    def score(params, wav, feed):
-        # ``feed`` chains iterations: each call consumes the previous call's
-        # output so repeated identical executions can't be elided or cached
-        # anywhere between host and chip; the perturbation is numerically nil.
-        out = model.apply(params, wav + feed, train=False).log_probs
-        return out, out[0, 0].astype(wav.dtype) * 1e-30
-
-    wav = jax.numpy.asarray(
-        np.random.default_rng(0).normal(size=(batch, samples)).astype(np.float32) * 0.1
+    wav = (
+        np.random.default_rng(0).normal(size=(batch, samples)).astype(np.float32)
+        * 0.1
     )
-
-    feed = jax.numpy.zeros((), wav.dtype)
-    for _ in range(warmup):
-        out, feed = score(params, wav, feed)
-    float(out.sum())  # host readback: unambiguous sync even via device tunnels
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, feed = score(params, wav, feed)
-    checksum = float(out.sum())  # timed region ends when data reaches host
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-
-    utt_per_sec = batch * iters / dt
-    del params, out  # free the eval weights before the train-step measure
-    try:
-        train_ms = round(_train_ms_per_step(on_tpu), 1)
-    except Exception as e:  # never let the train probe kill the eval line
-        print(f"train-step probe failed: {e}", file=sys.stderr)
-        train_ms = None
+    # NOTE the iteration count is part of the metric's definition: one fixed
+    # ~35-40 ms readback RTT through the tunnel amortizes over iters (sweep
+    # in PERFORMANCE.md: 10->719, 25->804..816, 100->859 utt/s vs the 874
+    # device rate) — 25 keeps round-over-round numbers comparable.
+    utt_per_sec, _ = chained_eval_throughput(
+        model, params, wav, iters=iters, warmup=warmup
+    )
+    del params  # free the eval weights before the train-step measure
+    # time-boxed subprocess + plausibility check: a tunnel hang or latency
+    # spike during the train probe must never cost the measured eval line
+    train_ms = _train_ms_probe(on_tpu)
     baseline = _baseline_utt_per_sec()
     result = {
         "metric": "eval_utterances_per_sec_per_chip",

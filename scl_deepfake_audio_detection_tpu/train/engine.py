@@ -262,6 +262,13 @@ class Engine:
             # EarlyStop state, ``main.py:23-45``); pre-counter checkpoints
             # resume with a fresh counter (None/0)
             stopper.counter = max(int(resume_counter), 0)
+            if stopper.counter >= stopper.patience:
+                # the interrupted run had ALREADY early-stopped (its last.ckpt
+                # was written the same epoch the stop fired): resuming must
+                # train zero further epochs, not strike once more first
+                stopper.early_stop = True
+                print("resume: EarlyStop patience already exhausted at save "
+                      "time; nothing to train")
         ckpt_every = max(int(getattr(cfg, "ckpt_every", 1)), 1)
         writer = ckpt.AsyncWriter() if getattr(cfg, "async_ckpt", True) else None
         last_epoch = cfg.start_epoch + cfg.num_epochs - 1
@@ -277,6 +284,8 @@ class Engine:
         tb = ScalarWriter(tensorboard_dir if proc0 else None)
 
         for epoch in range(cfg.start_epoch, cfg.start_epoch + cfg.num_epochs):
+            if stopper.early_stop:  # pre-exhausted patience (resume path)
+                break
             lr = cyclic_exp_lr(epoch, cfg.min_lr, cfg.max_lr)
             opt_state = set_learning_rate(opt_state, lr)
             t0 = time.time()

@@ -13,7 +13,6 @@ Usage: python scripts/measure_1b_eval.py [--batch N] [--iters K] [--preset P]
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -54,27 +53,17 @@ def main():
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"params: {n/1e6:.1f}M", flush=True)
 
-    @jax.jit
-    def score(params, wav, feed):
-        out = model.apply(params, wav + feed, train=False).log_probs
-        return out, out[0, 0].astype(wav.dtype) * 1e-30
+    from scl_deepfake_audio_detection_tpu.utils.measure import (
+        chained_eval_throughput,
+    )
 
-    wav = jax.numpy.asarray(
+    wav = (
         np.random.default_rng(0).normal(size=(batch, 64600)).astype(np.float32)
         * 0.1
     )
-    feed = jax.numpy.zeros((), wav.dtype)
-    for _ in range(3):
-        out, feed = score(params, wav, feed)
-    float(out.sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, feed = score(params, wav, feed)
-    checksum = float(out.sum())
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    print(f"{preset} eval forward: {batch * iters / dt:.1f} utt/s "
-          f"({dt / iters * 1000:.1f} ms/batch-{batch})")
+    utt_s, ms = chained_eval_throughput(model, params, wav, iters=iters)
+    print(f"{preset} eval forward: {utt_s:.1f} utt/s "
+          f"({ms:.1f} ms/batch-{batch})")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,6 @@ given in any position relative to the flags.
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -27,14 +26,10 @@ def main():
 
     from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
     from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
-    from scl_deepfake_audio_detection_tpu.train.engine import (
-        _train_step,
-    )
     from scl_deepfake_audio_detection_tpu.train.optim import (
         make_optimizer,
         set_learning_rate,
     )
-    import functools
 
     argv = list(sys.argv[1:])
     remat_policy = XLSRConfig.remat_policy
@@ -73,31 +68,14 @@ def main():
         ),
     }
 
-    step = functools.partial(
-        _train_step, model=model, optimizer=optimizer, loss_scope="group"
+    from scl_deepfake_audio_detection_tpu.utils.measure import (
+        train_ms_per_step,
     )
 
-    def chained(params, opt_state, k):
-        def body(carry, i):
-            p, o = carry
-            p, _, o, m = step(p, {}, o, batch, jax.random.fold_in(jax.random.key(1), i))
-            return (p, o), m["loss"]
-
-        (p, o), losses = jax.lax.scan(body, (params, opt_state), jnp.arange(k))
-        return losses[-1]
-
-    times = {}
-    for k in (k1, k2):
-        f = jax.jit(functools.partial(chained, k=k))
-        loss = f(params, opt_state)  # compile + run
-        float(loss)
-        t0 = time.perf_counter()
-        loss = f(params, opt_state)
-        val = float(loss)  # host readback ends timing
-        times[k] = time.perf_counter() - t0
-        print(f"k={k}: {times[k]:.3f}s total, loss={val:.4f}", flush=True)
-
-    ms = (times[k2] - times[k1]) / (k2 - k1) * 1000
+    ms = train_ms_per_step(
+        model, optimizer, params, opt_state, batch, k1=k1, k2=k2,
+        loss_scope="group",
+    )
     print(f"differenced: {ms:.1f} ms/step at {g}x{v}x{t}")
 
 

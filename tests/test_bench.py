@@ -7,7 +7,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def test_train_ms_per_step_cpu_smoke():
@@ -22,3 +23,22 @@ def test_baseline_denominator_present():
 
     b = bench._baseline_utt_per_sec()
     assert b is not None and 0 < b < 10  # the measured torch-CPU proxy
+
+
+def test_train_ms_probe_subprocess_cpu():
+    """The time-boxed probe path end-to-end: subprocess run, TRAIN_MS parse,
+    plausibility bounds."""
+    import bench
+
+    ms = bench._train_ms_probe(on_tpu=False, timeout_s=600)
+    assert ms is not None and 0 < ms < 10000, ms
+
+
+def test_eval_and_train_helpers_shared():
+    """bench, measure_train_step and measure_1b_eval must all route through
+    utils.measure — one copy of the methodology (review r3 finding)."""
+    for path in ("bench.py", "scripts/measure_train_step.py",
+                 "scripts/measure_1b_eval.py"):
+        src = open(os.path.join(REPO, path)).read()
+        assert "utils.measure import" in src, path
+        assert "perf_counter" not in src, f"{path} re-implements timing"

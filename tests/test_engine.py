@@ -520,3 +520,19 @@ def test_resume_mid_patience_stops_at_same_epoch(tmp_path):
     # identical stop epoch: 6..10 = strikes 6..10, stop after epoch 10 —
     # NOT epoch 15 (what a restarted counter would give)
     assert logs_b[-1] == 10, logs_b
+
+    # resuming a run that ALREADY early-stopped must train ZERO epochs
+    # (not strike once more first): last.ckpt of the full run carries
+    # counter == patience
+    last_full = os.path.join(str(tmp_path / "full"), "last.ckpt")
+    _, extra_f = ckpt.load(last_full)
+    assert int(extra_f["es_counter"]) == 10
+    eng_c = make_engine(num_epochs=30, start_epoch=11)
+    pc, bc, oc = eng_c.init_state(jax.random.key(0))
+    pc, bc, oc, _, rk, best_c = ckpt.load_train_state(last_full, oc)
+    logs_c = []
+    eng_c.fit(pc, bc, oc, rng_key=rk, save_dir=str(tmp_path / "re_stopped"),
+              log_fn=lambda e, r: logs_c.append(e),
+              resume_best=best_c, resume_counter=int(extra_f["es_counter"]),
+              **kw)
+    assert logs_c == [], logs_c
