@@ -38,7 +38,27 @@ def test_eval_and_train_helpers_shared():
     """bench, measure_train_step and measure_1b_eval must all route through
     utils.measure — one copy of the methodology (review r3 finding)."""
     for path in ("bench.py", "scripts/measure_train_step.py",
-                 "scripts/measure_1b_eval.py"):
+                 "scripts/measure_1b_eval.py", "scripts/measure_zoo_eval.py"):
         src = open(os.path.join(REPO, path)).read()
         assert "utils.measure import" in src, path
         assert "perf_counter" not in src, f"{path} re-implements timing"
+
+
+def test_measure_zoo_eval_cpu_smoke():
+    """The zoo sweep script's build/measure loop runs on CPU with the tiny
+    preset (one head family is enough — the others share the loop; their
+    forwards are covered by test_model_zoo)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_zoo_eval", os.path.join(REPO, "scripts/measure_zoo_eval.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ["measure_zoo_eval", "--preset", "tiny", "--batch", "2",
+                "--iters", "2", "--samples", "3200", "--models", "xlsr_aasist"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
