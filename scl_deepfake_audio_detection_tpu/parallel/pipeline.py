@@ -58,6 +58,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     microbatches: Optional[int] = None,
+    data_axis: Optional[str] = None,
 ):
     """Run ``x -> layer_fn(...layer_fn(x, L0)..., L_last)`` as a pipeline.
 
@@ -67,6 +68,13 @@ def pipeline_apply(
     x:        [B, ...] batch; split into ``microbatches`` chunks (default:
               one per stage, the minimum that keeps every stage busy).
     mesh:     must contain ``axis``; stage s = mesh position s along it.
+    data_axis: optional second mesh axis to compose DATA parallelism with
+              the pipeline (a dp x pp 2D layout): each data shard runs its
+              own pipeline over its slice of every microbatch, params stay
+              replicated over ``data_axis`` (their gradient psum over data
+              falls out of the shard_map transpose), and the two collective
+              families never mix — activations hop stages over ``axis``,
+              grads reduce over ``data_axis``.
 
     Returns [B, ...], numerically equal to the sequential scan (same per-
     element op order — pipelining only reorders *which microbatch* a stage
@@ -91,30 +99,40 @@ def pipeline_apply(
     b = x.shape[0]
     if b % m:
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    dsize = mesh.shape[data_axis] if data_axis is not None else 1
+    if (b // m) % dsize:
+        raise ValueError(
+            f"microbatch size {b // m} not divisible by data axis "
+            f"'{data_axis}' size {dsize}"
+        )
     staged = _stage_slices(stacked, num_stages)
     xs = x.reshape(m, b // m, *x.shape[1:])
 
     # a layer stack is shape/dtype-stable layer-to-layer by construction, but
     # the *output* dtype may differ from the input's (e.g. fp32 wav into a
-    # bf16 residual stream) — probe it so the carry/result buffers match
+    # bf16 residual stream) — probe it so the carry/result buffers match.
+    # Probe at the LOCAL microbatch shape (per data shard).
     probe = jax.eval_shape(
         layer_fn,
-        jax.ShapeDtypeStruct((b // m, *x.shape[1:]), x.dtype),
+        jax.ShapeDtypeStruct((b // m // dsize, *x.shape[1:]), x.dtype),
         jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), stacked
         ),
     )
 
-    # params: stage-sharded on the leading axis; input/output replicated
-    # (each stage needs arbitrary microbatches at warmup; B is small relative
-    # to params in the regimes where pipelining matters)
+    # params: stage-sharded on the leading axis, replicated over data_axis;
+    # input/output replicated over the pipe axis (each stage needs arbitrary
+    # microbatches at warmup; B is small relative to params in the regimes
+    # where pipelining matters) but sharded within-microbatch over data_axis
     pspec = jax.tree.map(lambda _: P(axis), staged)
+    xspec = P(None, data_axis) if data_axis is not None else P()
+    varying = (axis,) if data_axis is None else (axis, data_axis)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(pspec, P()),
-        out_specs=P(),
+        in_specs=(pspec, xspec),
+        out_specs=xspec,
     )
     def run(local_stage, xs):
         # local_stage leaves: [1, L/S, ...] (shard_map keeps the sharded
@@ -153,7 +171,7 @@ def pipeline_apply(
                 jnp.zeros(probe.shape, probe.dtype),
                 jnp.zeros((m, *probe.shape), probe.dtype),
             ),
-            (axis,),
+            varying,
             to="varying",
         )
         (_, ys), _ = jax.lax.scan(

@@ -107,6 +107,60 @@ def test_pipeline_rejects_bad_shapes(stacked, x):
         pipeline_apply(_layer_fn, bad, x, mesh)
 
 
+def test_pipeline_composes_with_data_parallelism(stacked, x):
+    """dp x pp on one 2D mesh (data=2, pipe=4): values AND parameter
+    gradients must match the sequential scan — the data-axis grad psum falls
+    out of the shard_map transpose (params are replicated over 'data')."""
+    mesh = make_mesh((2, 4), axis_names=("data", "pipe"))
+    ref = _sequential(stacked, x)
+    out = pipeline_apply(_layer_fn, stacked, x, mesh, axis="pipe",
+                         data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_seq(p):
+        return jnp.sum(_sequential(p, x) ** 2)
+
+    def loss_pipe(p):
+        return jnp.sum(
+            pipeline_apply(_layer_fn, p, x, mesh, axis="pipe",
+                           data_axis="data") ** 2
+        )
+
+    g_ref = jax.grad(loss_seq)(stacked)
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_dp_sharded_input_and_output(stacked, x):
+    """With data_axis the batch actually SHARDS: feeding an input already
+    placed with the dp sharding runs without resharding and the output
+    carries the same data-axis layout (dim0 after the microbatch merge)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh((2, 4), axis_names=("data", "pipe"))
+    xp = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(
+        lambda p, xx: pipeline_apply(_layer_fn, p, xx, mesh, axis="pipe",
+                                     data_axis="data")
+    )(stacked, xp)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_sequential(stacked, x)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_rejects_bad_data_split(stacked, x):
+    """Microbatch size not divisible by the data-axis size is an explicit
+    error, not a silent replication."""
+    # B=8, microbatches=4 -> microbatch size 2, not divisible by data=4
+    with pytest.raises(ValueError, match="data axis"):
+        pipeline_apply(_layer_fn, stacked, x,
+                       make_mesh((4, 2), axis_names=("data", "pipe")),
+                       axis="pipe", microbatches=4, data_axis="data")
+
+
 def test_pipeline_dtype_changing_stack(stacked, x):
     """A stack whose residual stream runs in bf16 (fp32 wav in, bf16 out —
     the XLSR compute-dtype pattern) pipelines correctly: carry buffers take
