@@ -257,6 +257,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "cpu+tpu lowering, weights as arguments) and exit; "
                         "deploy it with --from_export — no model code needed "
                         "on the serving host")
+    p.add_argument("--export_quant", type=str, default=None,
+                   choices=["int8"],
+                   help="--export_model: store big float weight matrices as "
+                        "symmetric per-channel int8 + fp32 scales (half the "
+                        "bf16 artifact bytes again; ~4x vs fp32). Dequantized "
+                        "to the original dtype at load — the serialized "
+                        "program and serving numerics path are unchanged; "
+                        "drift is weight rounding only. Check a deployment "
+                        "with --verify_export")
     p.add_argument("--verify_export", type=str, default=None, metavar="DIR",
                    help="deployment hygiene: score a deterministic probe "
                         "batch through BOTH the --export_model artifact in "
@@ -873,9 +882,12 @@ def main(argv=None) -> int:
             padding_type=args.padding_type,
             calibration=cal,
             model_tag=cfg.model.name,
+            quantize=args.export_quant,
         )
+        qnote = (f", stored {meta['stored_bytes']/1e6:.1f} MB as "
+                 f"{meta['quantization']}" if meta.get("quantization") else "")
         print(f"exported {meta['model_tag']} -> {args.export_model} "
-              f"({meta['param_bytes']/1e6:.1f} MB weights, platforms "
+              f"({meta['param_bytes']/1e6:.1f} MB weights{qnote}, platforms "
               f"{meta['platforms']}); run it with --from_export")
         return 0
 

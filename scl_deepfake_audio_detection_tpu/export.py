@@ -49,10 +49,15 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 adds optional int8 weight-only quantized storage
 _EXPORT_FILE = "scorer.jaxexp"
 _WEIGHTS_FILE = "weights.npz"
 _META_FILE = "meta.json"
+
+# weight-only quantization: leaves smaller than this stay in their original
+# dtype (biases/LN vectors — negligible bytes, and they are the numerics-
+# sensitive ones)
+_QUANT_MIN_SIZE = 4096
 
 
 # --------------------------------------------------------------------------
@@ -79,6 +84,37 @@ def _from_npz_array(a: np.ndarray, dtype_name: str) -> np.ndarray:
 
 def _leaf_key(prefix: str, i: int) -> str:
     return f"{prefix}{i:05d}"
+
+
+def _is_float_dtype(dt: np.dtype) -> bool:
+    # ml_dtypes extension floats (bfloat16) register with kind 'V', not 'f'
+    return dt.kind == "f" or dt.name in ("bfloat16", "float8_e4m3fn")
+
+
+def _quantizable(a: np.ndarray) -> bool:
+    return a.ndim >= 2 and a.size >= _QUANT_MIN_SIZE and _is_float_dtype(
+        a.dtype
+    )
+
+
+def _quantize_int8(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-channel int8: the scale reduces axis -2 (the matmul/conv
+    contraction axis in this framework's [.., in, out] kernel layout), so
+    every output channel — per stacked layer for scan-stacked leaves — gets
+    its own step size."""
+    af = np.asarray(a, np.float32)
+    amax = np.max(np.abs(af), axis=-2, keepdims=True)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(af / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _dequantize_int8(
+    q: np.ndarray, scale: np.ndarray, dtype_name: str
+) -> np.ndarray:
+    if dtype_name not in ("float64", "float32", "float16"):
+        import ml_dtypes  # noqa: F401  (registers bfloat16 & friends)
+    return (q.astype(np.float32) * scale).astype(np.dtype(dtype_name))
 
 
 # --------------------------------------------------------------------------
@@ -112,6 +148,7 @@ def export_scorer(
     padding_type: str = "zero",
     calibration: Optional[Tuple[float, float]] = None,
     model_tag: Optional[str] = None,
+    quantize: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Export ``model``'s scoring function + weights to ``out_dir``.
 
@@ -124,6 +161,15 @@ def export_scorer(
     (``models/base.cast_matmul_params``) — numerically a no-op for inference
     (ops cast per call anyway) and it halves the artifact's weight bytes.
     Pass ``None`` to keep weights exactly as given.
+
+    ``quantize="int8"``: weight-only storage quantization — float param
+    leaves with ndim >= 2 and >= 4096 elements are stored as symmetric
+    per-channel int8 + fp32 scales and dequantized back to their original
+    dtype at LOAD time.  The serialized program and the runtime compute
+    path are unchanged (it still consumes the original dtypes); only the
+    artifact bytes halve again vs bf16.  Biases/LN vectors/buffers stay
+    exact.  The score drift is the weight rounding only (tests pin a
+    tiny-model bound; use --verify_export for a deployment-time check).
 
     Returns the metadata dict that was written to ``meta.json``.
     """
@@ -161,16 +207,28 @@ def export_scorer(
         wav_spec,
     )
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize={quantize!r} (int8 or None)")
+
     os.makedirs(out_dir, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
     dtypes: Dict[str, str] = {}
+    quant_scales: Dict[str, str] = {}
     for prefix, leaves in (("p", p_leaves), ("b", b_leaves)):
         for i, leaf in enumerate(leaves):
             k = _leaf_key(prefix, i)
-            arrays[k], dtypes[k] = _to_npz_array(leaf)
+            # weight-only: quantize param matrices, never buffers (BN stats)
+            if quantize == "int8" and prefix == "p" and _quantizable(leaf):
+                q, scale = _quantize_int8(leaf)
+                sk = "qs" + k
+                arrays[k], arrays[sk] = q, scale
+                dtypes[k] = leaf.dtype.name  # ORIGINAL dtype, for dequant
+                quant_scales[k] = sk
+            else:
+                arrays[k], dtypes[k] = _to_npz_array(leaf)
 
     meta = {
-        "format_version": FORMAT_VERSION,
+        "format_version": 2 if quant_scales else 1,
         "model_tag": model_tag or type(model).__name__,
         "cut": cut,
         "padding_type": padding_type,
@@ -185,6 +243,9 @@ def export_scorer(
         "num_param_leaves": len(p_leaves),
         "num_buffer_leaves": len(b_leaves),
         "param_bytes": int(sum(a.nbytes for a in p_leaves)),
+        "stored_bytes": int(sum(a.nbytes for a in arrays.values())),
+        "quantization": quantize if quant_scales else None,
+        "quantized_leaf_scales": quant_scales,
         "leaf_dtypes": dtypes,
         "framework_version": __version__,
         "jax_version": jax.__version__,
@@ -230,14 +291,21 @@ class ExportedScorer:
 
             self._exported = jax_export.deserialize(f.read())
         dtypes = self.meta["leaf_dtypes"]
+        qscales = self.meta.get("quantized_leaf_scales") or {}
+
+        def leaf(z, k):
+            if k in qscales:  # int8 weight-only storage (format v2)
+                return _dequantize_int8(z[k], z[qscales[k]], dtypes[k])
+            return _from_npz_array(z[k], dtypes[k])
+
         with np.load(os.path.join(path, _WEIGHTS_FILE)) as z:
             self._p = tuple(
-                _from_npz_array(z[k], dtypes[k])
+                leaf(z, k)
                 for k in (_leaf_key("p", i)
                           for i in range(self.meta["num_param_leaves"]))
             )
             self._b = tuple(
-                _from_npz_array(z[k], dtypes[k])
+                leaf(z, k)
                 for k in (_leaf_key("b", i)
                           for i in range(self.meta["num_buffer_leaves"]))
             )

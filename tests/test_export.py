@@ -212,7 +212,9 @@ def test_export_rejects_newer_format(tiny_scorer_dir):
     meta_path = os.path.join(out, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    bumped = dict(meta, format_version=meta["format_version"] + 1)
+    from scl_deepfake_audio_detection_tpu.export import FORMAT_VERSION
+
+    bumped = dict(meta, format_version=FORMAT_VERSION + 1)
     with open(meta_path, "w") as f:
         json.dump(bumped, f)
     try:
@@ -372,3 +374,94 @@ def test_cli_verify_export(tmp_path):
 
     # an artifact cannot verify itself
     assert main(["--verify_export", art, "--from_export", art, "--eval"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only quantized storage (format v2)
+
+
+def test_export_int8_quantized_artifact(tmp_path):
+    """quantize='int8' shrinks the stored bytes vs bf16 and the restored
+    scorer's drift vs the unquantized artifact is weight rounding only —
+    the serialized program is unchanged (same leaf dtypes at run time)."""
+    model = LinearNLL(ssl=XLSRConfig.tiny())
+    params = jax.jit(model.init)(jax.random.key(0))
+    out_fp = str(tmp_path / "fp")
+    out_q = str(tmp_path / "q")
+    meta_fp = export_scorer(model, params, {}, out_fp,
+                            compute_dtype="bfloat16")
+    meta_q = export_scorer(model, params, {}, out_q,
+                           compute_dtype="bfloat16", quantize="int8")
+    assert meta_fp["quantization"] is None
+    assert meta_fp["format_version"] == 1  # unquantized stays v1-loadable
+    assert meta_q["quantization"] == "int8"
+    assert meta_q["format_version"] == 2
+    assert meta_q["quantized_leaf_scales"]  # the big matrices quantized
+    assert meta_q["stored_bytes"] < meta_fp["stored_bytes"]
+
+    wav = (np.random.default_rng(5).normal(size=(3, CUT)) * 0.1).astype(
+        np.float32
+    )
+    s_fp = load_scorer(out_fp).score(wav)
+    s_q = load_scorer(out_q).score(wav)
+    assert s_q.shape == s_fp.shape == (3, 2)
+    # weight-rounding drift only — and NOT zero (quantization really applied)
+    np.testing.assert_allclose(s_q, s_fp, atol=0.2)
+    assert not np.array_equal(s_q, s_fp)
+
+
+def test_export_int8_dequant_restores_dtypes_small_leaves_exact(tmp_path):
+    """Dequantized leaves come back in their original (bf16) dtype so the
+    serialized program's signature still matches; leaves below the size
+    cutoff (biases, LN vectors) and buffers stay byte-exact."""
+    model = LinearNLL(ssl=XLSRConfig.tiny())
+    params = jax.jit(model.init)(jax.random.key(0))
+    out_fp = str(tmp_path / "fp")
+    out_q = str(tmp_path / "q")
+    export_scorer(model, params, {}, out_fp, compute_dtype="bfloat16")
+    meta_q = export_scorer(model, params, {}, out_q,
+                           compute_dtype="bfloat16", quantize="int8")
+    sc_fp, sc_q = load_scorer(out_fp), load_scorer(out_q)
+    quant_keys = set(meta_q["quantized_leaf_scales"])
+    n_quant = 0
+    for i, (a, b) in enumerate(zip(sc_fp._p, sc_q._p)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        if f"p{i:05d}" in quant_keys:
+            n_quant += 1
+            # per-channel int8: within one scale step of the original
+            af = np.asarray(a, np.float32)
+            step = np.max(np.abs(af), axis=-2, keepdims=True) / 127.0
+            assert np.all(np.abs(af - np.asarray(b, np.float32))
+                          <= step + 1e-7)
+        else:
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert n_quant == len(quant_keys) > 0
+
+
+def test_export_rejects_unknown_quantize(tmp_path):
+    model = LinearNLL(ssl=XLSRConfig.tiny())
+    params = jax.jit(model.init)(jax.random.key(0))
+    with pytest.raises(ValueError, match="quantize"):
+        export_scorer(model, params, {}, str(tmp_path / "x"),
+                      quantize="int4")
+
+
+def test_cli_export_quant_then_score(tmp_path):
+    """--export_model --export_quant int8 writes a quantized artifact the
+    framework-free loader restores and scores."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    art = str(tmp_path / "qart")
+    rc = main(["--export_model", art, "--export_quant", "int8",
+               "--ssl_preset", "tiny",
+               "--config", "configs/conf-3-linear.yaml", "--seed", "77"])
+    assert rc == 0
+    with open(os.path.join(art, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["quantization"] == "int8" and meta["quantized_leaf_scales"]
+    scorer = load_scorer(art)
+    wav = (np.random.default_rng(9).normal(size=(2, CUT)) * 0.1).astype(
+        np.float32
+    )
+    s = scorer.score(wav)
+    assert s.shape == (2, 2) and np.isfinite(s).all()
