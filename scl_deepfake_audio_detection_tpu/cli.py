@@ -214,6 +214,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "fixed-shape batch (the TPU serving lever — batch-1 "
                         "forwards leave most of the chip idle under load); "
                         "latency for a lone request is unchanged")
+    p.add_argument("--serve_http", type=int, default=None, metavar="PORT",
+                   help="HTTP scoring service on PORT (0 = ephemeral): "
+                        "POST /score (audio bytes or JSON {'path': ...}), "
+                        "POST /score_batch, GET /healthz; concurrent "
+                        "requests micro-batch into --serve_batch-sized "
+                        "forwards (serving.py).  Composes with "
+                        "--from_export, --calibrate and --long_audio like "
+                        "--serve")
+    p.add_argument("--serve_host", type=str, default="127.0.0.1",
+                   help="--serve_http bind address (default loopback; set "
+                        "0.0.0.0 behind a load balancer)")
+    p.add_argument("--serve_wait_ms", type=float, default=5.0,
+                   help="--serve_http: max time a request waits for "
+                        "co-riders before a partial batch runs (the "
+                        "latency/throughput knob of micro-batching)")
     p.add_argument("--distill_from", type=str, default=None, metavar="CKPT",
                    help="train the configured model as a DISTILLATION "
                         "student of this frozen teacher checkpoint (our "
@@ -667,7 +682,7 @@ def main(argv=None) -> int:
     # --- AOT-artifact scoring: skip model construction entirely --------------
     scorer = None
     if args.from_export:
-        if not (args.serve or args.eval):
+        if not (args.serve or args.serve_http is not None or args.eval):
             # --predict rides --eval (reference semantics: main.py:358-368
             # dispatches the prediction writer inside the --eval branch)
             print("--from_export works with --serve or --eval "
@@ -786,6 +801,7 @@ def main(argv=None) -> int:
     # forward-only modes never read optimizer state: skip allocating AdamW
     # moments (2x param bytes of HBM) and skip the exact-resume re-load
     is_train_mode = not (args.eval or args.predict or args.emb or args.serve
+                         or args.serve_http is not None
                          or args.parity_check or args.export_model
                          or args.verify_export)
     opt_state = None
@@ -891,8 +907,12 @@ def main(argv=None) -> int:
               f"{meta['platforms']}); run it with --from_export")
         return 0
 
-    # --- serve mode: persistent scorer, wav paths on stdin ---------------------
-    if args.serve:
+    # --- serve modes: persistent scorer behind stdin lines or HTTP -------------
+    if args.serve and args.serve_http is not None:
+        print("--serve and --serve_http are two front-ends to one scorer; "
+              "pick one", file=sys.stderr)
+        return 2
+    if args.serve or args.serve_http is not None:
         from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
         from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
 
@@ -929,6 +949,23 @@ def main(argv=None) -> int:
                 return scorer.score(block)
             return _np.asarray(
                 engine.score_step(params, buffers, jax.numpy.asarray(block))
+            )
+
+        if args.serve_http is not None:
+            from scl_deepfake_audio_detection_tpu.serving import serve_http
+
+            return serve_http(
+                batch_score,
+                cut=cut,
+                host=args.serve_host,
+                port=args.serve_http,
+                batch_size=sb,
+                max_wait_ms=args.serve_wait_ms,
+                padding_type=args.padding_type,
+                calibration=cal,
+                long_audio=args.long_audio,
+                model_tag=(scorer.meta["model_tag"] if scorer is not None
+                           else cfg.model.name),
             )
 
         def score_group(group):

@@ -1,0 +1,458 @@
+"""HTTP scoring service with dynamic micro-batching.
+
+The reference has no serving story: deployment means re-running
+``main.py --eval`` over a score file list (``/root/reference/main.py:358-368``),
+paying model construction + checkpoint load per invocation.  The CLI's
+``--serve`` already keeps one warm compiled program behind a stdin line
+protocol; this module is the network front of the same idea:
+
+* ``MicroBatcher`` — a single scoring worker in front of ONE fixed-shape
+  jitted program.  Concurrent requests group into ``[batch, cut]`` blocks
+  (a batch-1 forward leaves most of the MXU idle), waiting at most
+  ``max_wait_ms`` for co-riders, so throughput under load approaches the
+  offline eval path while solo-request latency stays one forward + the
+  wait window.  Scoring stays single-threaded by construction — exactly
+  one device program in flight, no shape churn, no device contention.
+* ``make_server`` — a stdlib ``ThreadingHTTPServer`` (no framework deps):
+  request threads do the audio decode/pad work in parallel (host-side,
+  cheap) and block on the batcher for the device part.
+
+Endpoints::
+
+    GET  /healthz           -> {"status": "ok", model/batch metadata, counters}
+    POST /score             -> body = raw audio bytes (wav/flac/mp3/... via
+                               the native codec; suffix from X-Filename or
+                               Content-Type), or JSON {"path": ..., "id": ...}
+                               for server-local files.
+                               reply {"id", "score", "log_probs": [spoof, bona]}
+    POST /score_batch       -> JSON {"paths": [...]} -> {"results": [...]}
+                               (items submitted concurrently, so one request
+                               fills whole device batches on its own)
+
+``score`` is the reference score column (bonafide log-prob, column 1 of the
+LLGF output — same as the eval writer and ``--serve``), with the optional
+affine calibration applied; the raw log-prob pair rides alongside.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+_STOP = object()
+
+# body suffix for in-memory uploads when X-Filename is absent: the decoders
+# (native libav* / soundfile) sniff by container, but libav uses the name
+# hint to pick a demuxer for headerless-ish formats
+_CONTENT_SUFFIX = {
+    "audio/wav": ".wav",
+    "audio/x-wav": ".wav",
+    "audio/wave": ".wav",
+    "audio/flac": ".flac",
+    "audio/x-flac": ".flac",
+    "audio/mpeg": ".mp3",
+    "audio/mp3": ".mp3",
+    "audio/ogg": ".ogg",
+    "audio/opus": ".opus",
+}
+
+
+class _Request:
+    """One pending scoring unit inside the batcher."""
+
+    __slots__ = ("row", "long_wav", "event", "result", "error")
+
+    def __init__(self, row: Optional[np.ndarray], long_wav: Optional[np.ndarray] = None):
+        self.row = row
+        self.long_wav = long_wav
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+    def wait(self) -> np.ndarray:
+        self.event.wait()
+        if self.error is not None:
+            raise RuntimeError(f"scoring failed: {self.error!r}") from self.error
+        assert self.result is not None
+        return self.result
+
+
+class MicroBatcher:
+    """Groups concurrent scoring requests into fixed-shape device batches.
+
+    ``batch_score`` is the only thing that touches the device and is only
+    ever called from the worker thread with ``[batch_size, cut]`` float32
+    blocks — the same single-compiled-program invariant as the stdin serve
+    loop (``cli.py`` serve mode) and the eval writer.
+    """
+
+    def __init__(
+        self,
+        batch_score: Callable[[np.ndarray], np.ndarray],
+        *,
+        cut: int,
+        batch_size: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self.batch_score = batch_score
+        self.cut = int(cut)
+        self.batch_size = int(batch_size)
+        self.max_wait_s = max(float(max_wait_ms), 0.0) / 1e3
+        self.served = 0  # requests completed (healthz counter)
+        self.batches = 0  # device batches run
+        self._q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(
+            target=self._run, name="scl-microbatch", daemon=True
+        )
+        self._worker.start()
+
+    # -- submission (any thread) ------------------------------------------------
+    def submit_async(self, row: np.ndarray) -> _Request:
+        """Enqueue one pre-padded ``[cut]`` row; returns a waitable request."""
+        row = np.asarray(row, dtype=np.float32)
+        if row.shape != (self.cut,):
+            raise ValueError(f"row shape {row.shape} != ({self.cut},)")
+        req = _Request(row)
+        self._q.put(req)
+        return req
+
+    def submit(self, row: np.ndarray) -> np.ndarray:
+        """Score one ``[cut]`` row; blocks, returns the log-prob vector."""
+        return self.submit_async(row).wait()
+
+    def submit_long(self, wav: np.ndarray) -> np.ndarray:
+        """Score an arbitrarily-long clip via windowed crops.
+
+        The chunked forwards run inside the worker (same ``[batch, cut]``
+        program, serialized with everything else), so long clips never
+        introduce a second compiled shape or concurrent device calls.
+        """
+        req = _Request(None, long_wav=np.asarray(wav, dtype=np.float32))
+        self._q.put(req)
+        return req.wait()
+
+    # -- worker ------------------------------------------------------------------
+    def _collect(self, first: "_Request") -> Sequence["_Request"]:
+        group = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(group) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            try:
+                item = (
+                    self._q.get_nowait()
+                    if remaining <= 0
+                    else self._q.get(timeout=remaining)
+                )
+            except queue.Empty:
+                break
+            if item is _STOP:
+                self._q.put(_STOP)  # re-post so the loop exits after this group
+                break
+            group.append(item)
+        return group
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is _STOP:
+                return
+            group = self._collect(item)
+            # long clips score individually (chunk count varies per clip);
+            # fixed-window rows share one block
+            rows = [r for r in group if r.row is not None]
+            try:
+                if rows:
+                    block = np.zeros((self.batch_size, self.cut), np.float32)
+                    for i, r in enumerate(rows):
+                        block[i] = r.row
+                    lp = np.asarray(self.batch_score(block))
+                    self.batches += 1
+                    for i, r in enumerate(rows):
+                        r.result = lp[i]
+                for r in group:
+                    if r.long_wav is not None:
+                        from scl_deepfake_audio_detection_tpu.train.scoring import (
+                            score_long_audio,
+                        )
+
+                        r.result = np.asarray(
+                            score_long_audio(
+                                r.long_wav,
+                                self.batch_score,
+                                window=self.cut,
+                                batch=self.batch_size,
+                            )
+                        )
+            except BaseException as e:  # propagate to every waiter, keep serving
+                for r in group:
+                    if r.result is None:
+                        r.error = e
+            finally:
+                self.served += len(group)
+                for r in group:
+                    r.event.set()
+
+    def close(self) -> None:
+        self._q.put(_STOP)
+        self._worker.join(timeout=30)
+
+
+@dataclass
+class ServeConfig:
+    """Scoring policy shared by every endpoint."""
+
+    cut: int = 64600
+    padding_type: str = "zero"  # the CLI's --padding_type default
+    calibration: Optional[Tuple[float, float]] = None
+    long_audio: bool = False
+    model_tag: str = ""
+    started: float = field(default_factory=time.time)
+
+
+def _score_payload(batcher: MicroBatcher, cfg: ServeConfig, wav: np.ndarray) -> dict:
+    from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
+
+    if cfg.long_audio and wav.shape[0] > cfg.cut:
+        lp = batcher.submit_long(wav)
+    else:
+        lp = batcher.submit(pad_eval(wav.astype(np.float32), cfg.padding_type, cfg.cut))
+    raw = float(lp[1])  # col 1 = bonafide log-prob (reference score column)
+    score = (
+        cfg.calibration[0] * raw + cfg.calibration[1] if cfg.calibration else raw
+    )
+    return {"score": score, "log_probs": [float(lp[0]), float(lp[1])]}
+
+
+def _decode_upload(body: bytes, suffix: str) -> np.ndarray:
+    """Decode in-memory audio bytes via the path-based decoder chain."""
+    from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
+
+    fd, path = tempfile.mkstemp(suffix=suffix or ".wav")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(body)
+        return load_audio(path)
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "SCLServe/1.0"
+    protocol_version = "HTTP/1.1"
+
+    # quiet the default per-request stderr lines (the server stays scriptable)
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    # -- small helpers -----------------------------------------------------------
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n) if n else b""
+
+    # -- endpoints ---------------------------------------------------------------
+    def do_GET(self):  # noqa: N802
+        if self.path != "/healthz":
+            return self._json(404, {"error": f"no route {self.path!r}"})
+        b: MicroBatcher = self.server.batcher  # type: ignore[attr-defined]
+        cfg: ServeConfig = self.server.cfg  # type: ignore[attr-defined]
+        self._json(
+            200,
+            {
+                "status": "ok",
+                "model": cfg.model_tag,
+                "cut": cfg.cut,
+                "batch_size": b.batch_size,
+                "long_audio": cfg.long_audio,
+                "calibrated": cfg.calibration is not None,
+                "served": b.served,
+                "batches": b.batches,
+                "uptime_s": round(time.time() - cfg.started, 3),
+            },
+        )
+
+    def do_POST(self):  # noqa: N802
+        batcher: MicroBatcher = self.server.batcher  # type: ignore[attr-defined]
+        cfg: ServeConfig = self.server.cfg  # type: ignore[attr-defined]
+        try:
+            if self.path == "/score":
+                return self._score_one(batcher, cfg)
+            if self.path == "/score_batch":
+                return self._score_batch(batcher, cfg)
+            return self._json(404, {"error": f"no route {self.path!r}"})
+        except _ClientError as e:
+            return self._json(400, {"error": str(e)})
+        except RuntimeError as e:  # scoring-side failure
+            return self._json(500, {"error": str(e)})
+
+    def _score_one(self, batcher: MicroBatcher, cfg: ServeConfig) -> None:
+        from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
+
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        body = self._body()
+        rid = None
+        if ctype == "application/json":
+            req = _parse_json(body)
+            rid = req.get("id")
+            path = req.get("path")
+            if not path:
+                raise _ClientError("JSON body needs a 'path'")
+            try:
+                wav = load_audio(path)
+            except Exception as e:
+                raise _ClientError(f"cannot decode {path!r}: {e}")
+        else:
+            if not body:
+                raise _ClientError("empty body: POST audio bytes or JSON {'path': ...}")
+            name = self.headers.get("X-Filename", "")
+            suffix = os.path.splitext(name)[1] or _CONTENT_SUFFIX.get(ctype, ".wav")
+            rid = name or None
+            try:
+                wav = _decode_upload(body, suffix)
+            except Exception as e:
+                raise _ClientError(f"cannot decode upload ({suffix}): {e}")
+        out = _score_payload(batcher, cfg, wav)
+        if rid is not None:
+            out["id"] = rid
+        self._json(200, out)
+
+    def _score_batch(self, batcher: MicroBatcher, cfg: ServeConfig) -> None:
+        from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
+        from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
+
+        req = _parse_json(self._body())
+        paths = req.get("paths")
+        if not isinstance(paths, list) or not paths:
+            raise _ClientError("JSON body needs a non-empty 'paths' list")
+        # decode first, then submit every decodable row before waiting on any,
+        # so one request fills whole device batches on its own
+        pending = []
+        for p in paths:
+            try:
+                wav = load_audio(p)
+                if cfg.long_audio and wav.shape[0] > cfg.cut:
+                    pending.append((p, None, wav))
+                else:
+                    row = pad_eval(wav.astype(np.float32), cfg.padding_type, cfg.cut)
+                    pending.append((p, batcher.submit_async(row), None))
+            except Exception as e:
+                pending.append((p, None, _ClientError(str(e))))
+        results = []
+        for p, handle, extra in pending:
+            if isinstance(extra, _ClientError):
+                results.append({"path": p, "error": str(extra)})
+                continue
+            try:
+                lp = handle.wait() if handle is not None else batcher.submit_long(extra)
+            except RuntimeError as e:
+                results.append({"path": p, "error": str(e)})
+                continue
+            raw = float(lp[1])
+            score = (
+                cfg.calibration[0] * raw + cfg.calibration[1]
+                if cfg.calibration
+                else raw
+            )
+            results.append(
+                {"path": p, "score": score, "log_probs": [float(lp[0]), float(lp[1])]}
+            )
+        self._json(200, {"results": results})
+
+
+class _ClientError(ValueError):
+    """Maps to HTTP 400."""
+
+
+def _parse_json(body: bytes) -> dict:
+    try:
+        out = json.loads(body.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise _ClientError(f"invalid JSON body: {e}")
+    if not isinstance(out, dict):
+        raise _ClientError("JSON body must be an object")
+    return out
+
+
+class ScoreServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer carrying the batcher + scoring policy."""
+
+    daemon_threads = True
+
+    def __init__(self, addr, batcher: MicroBatcher, cfg: ServeConfig):
+        super().__init__(addr, _Handler)
+        self.batcher = batcher
+        self.cfg = cfg
+
+    def close(self) -> None:
+        self.server_close()
+        self.batcher.close()
+
+
+def make_server(
+    batch_score: Callable[[np.ndarray], np.ndarray],
+    *,
+    cut: int,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    batch_size: int = 8,
+    max_wait_ms: float = 5.0,
+    padding_type: str = "zero",
+    calibration: Optional[Tuple[float, float]] = None,
+    long_audio: bool = False,
+    model_tag: str = "",
+) -> ScoreServer:
+    """Build (but don't run) the HTTP scorer; ``port=0`` binds an ephemeral port."""
+    batcher = MicroBatcher(
+        batch_score, cut=cut, batch_size=batch_size, max_wait_ms=max_wait_ms
+    )
+    cfg = ServeConfig(
+        cut=cut,
+        padding_type=padding_type,
+        calibration=calibration,
+        long_audio=long_audio,
+        model_tag=model_tag,
+    )
+    return ScoreServer((host, port), batcher, cfg)
+
+
+def serve_http(batch_score, **kw) -> int:
+    """CLI entry: build the server, announce the port, run until interrupt."""
+    import sys
+
+    server = make_server(batch_score, **kw)
+    host, port = server.server_address[:2]
+    print(
+        f"serve_http: listening on http://{host}:{port} "
+        f"(POST /score, /score_batch; GET /healthz; first forward compiles, "
+        f"~20-40s over a tunneled chip, warm after)",
+        file=sys.stderr,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0

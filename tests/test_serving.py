@@ -1,0 +1,398 @@
+"""HTTP serving layer (serving.py): micro-batching + endpoint behavior.
+
+The reference has no serving path at all (deployment = rerunning
+``main.py --eval``); these tests pin the framework's production surface:
+one warm fixed-shape program behind a stdlib HTTP server, concurrent
+requests grouped into device batches.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
+from scl_deepfake_audio_detection_tpu.serving import (
+    MicroBatcher,
+    make_server,
+)
+from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio, save_wav
+
+CUT = 1000
+SR = 16000
+
+
+def fake_batch_score(block):
+    """Deterministic per-row stand-in for the jitted scorer: [sb, 2]."""
+    m = block.mean(axis=1).astype(np.float64)
+    return np.stack([-np.abs(m), np.tanh(m * 100.0)], axis=1).astype(np.float32)
+
+
+def expected_row(row):
+    return fake_batch_score(row[None, :])[0]
+
+
+# --------------------------------------------------------------------------
+# MicroBatcher
+# --------------------------------------------------------------------------
+
+
+def test_microbatcher_groups_and_matches():
+    """Concurrent submits share ONE fixed-shape forward; per-row values
+    equal the direct function of that row (batching must not mix rows)."""
+    shapes = []
+
+    def spy(block):
+        shapes.append(block.shape)
+        return fake_batch_score(block)
+
+    b = MicroBatcher(spy, cut=CUT, batch_size=4, max_wait_ms=300)
+    try:
+        rng = np.random.default_rng(0)
+        rows = [rng.normal(size=CUT).astype(np.float32) * 0.1 for _ in range(4)]
+        handles = [b.submit_async(r) for r in rows]
+        outs = [h.wait() for h in handles]
+        for r, o in zip(rows, outs):
+            np.testing.assert_allclose(o, expected_row(r), atol=1e-6)
+        assert shapes == [(4, CUT)]  # one batch, fixed shape
+        assert b.batches == 1 and b.served == 4
+        # a lone request still runs (partial batch padded to the same shape)
+        lone = b.submit(rows[0])
+        np.testing.assert_allclose(lone, expected_row(rows[0]), atol=1e-6)
+        assert shapes[-1] == (4, CUT)
+    finally:
+        b.close()
+
+
+def test_microbatcher_rejects_bad_row_and_wrong_batch_size():
+    b = MicroBatcher(fake_batch_score, cut=CUT, batch_size=2, max_wait_ms=0)
+    try:
+        with pytest.raises(ValueError):
+            b.submit(np.zeros(CUT + 1, np.float32))
+    finally:
+        b.close()
+    with pytest.raises(ValueError):
+        MicroBatcher(fake_batch_score, cut=CUT, batch_size=0)
+
+
+def test_microbatcher_error_propagates_then_recovers():
+    """A scoring failure reaches every waiter as RuntimeError; the worker
+    survives and serves the next request."""
+    state = {"fail": True}
+
+    def flaky(block):
+        if state["fail"]:
+            raise FloatingPointError("nan in scores")
+        return fake_batch_score(block)
+
+    b = MicroBatcher(flaky, cut=CUT, batch_size=2, max_wait_ms=0)
+    try:
+        with pytest.raises(RuntimeError, match="nan in scores"):
+            b.submit(np.zeros(CUT, np.float32))
+        state["fail"] = False
+        out = b.submit(np.ones(CUT, np.float32) * 0.01)
+        np.testing.assert_allclose(
+            out, expected_row(np.ones(CUT, np.float32) * 0.01), atol=1e-6
+        )
+    finally:
+        b.close()
+
+
+def test_microbatcher_long_audio_matches_direct():
+    """submit_long == score_long_audio on the same scorer (chunked crops
+    through the same [batch, cut] program, worker-serialized)."""
+    from scl_deepfake_audio_detection_tpu.train.scoring import score_long_audio
+
+    rng = np.random.default_rng(3)
+    wav = rng.normal(size=int(CUT * 2.5)).astype(np.float32) * 0.1
+    b = MicroBatcher(fake_batch_score, cut=CUT, batch_size=4, max_wait_ms=0)
+    try:
+        got = b.submit_long(wav)
+    finally:
+        b.close()
+    want = score_long_audio(wav, fake_batch_score, window=CUT, batch=4)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# HTTP server
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture
+def http_server():
+    """Ephemeral-port server over the fake scorer; yields (base_url, server)."""
+    server = make_server(
+        fake_batch_score,
+        cut=CUT,
+        port=0,
+        batch_size=4,
+        # generous co-rider window: the batch-count pins below must not
+        # flake when the CI core is contended
+        max_wait_ms=100,
+        padding_type="zero",
+        model_tag="fake",
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        yield f"http://{host}:{port}", server
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+def _post(url, data, headers=None, timeout=240):
+    # generous: the e2e test's first request pays the tiny-model XLA
+    # compile, which can take minutes on a contended CI core
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_err(url, data, headers=None):
+    try:
+        _post(url, data, headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+    raise AssertionError("expected an HTTP error")
+
+
+def test_http_score_json_path_and_upload(http_server, tmp_path):
+    base, server = http_server
+    rng = np.random.default_rng(7)
+    wav = (rng.normal(size=720) * 0.2).astype(np.float32)
+    p = str(tmp_path / "clip.wav")
+    save_wav(p, wav, SR)
+    want = float(expected_row(pad_eval(load_audio(p), "zero", CUT))[1])
+
+    # JSON {"path": ...} (server-local file)
+    code, out = _post(
+        base + "/score",
+        json.dumps({"path": p, "id": "r1"}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert code == 200 and out["id"] == "r1"
+    assert out["score"] == pytest.approx(want, abs=1e-6)
+    assert out["log_probs"][1] == pytest.approx(want, abs=1e-6)
+
+    # raw bytes upload (decoded via the same chain, suffix from X-Filename)
+    code, out2 = _post(
+        base + "/score",
+        open(p, "rb").read(),
+        {"Content-Type": "audio/wav", "X-Filename": "clip.wav"},
+    )
+    assert code == 200 and out2["id"] == "clip.wav"
+    assert out2["score"] == pytest.approx(want, abs=1e-6)
+
+    code, health = _get(base + "/healthz")
+    assert code == 200 and health["status"] == "ok"
+    assert health["model"] == "fake" and health["cut"] == CUT
+    assert health["served"] >= 2 and health["batches"] >= 2
+
+
+def test_http_client_errors(http_server, tmp_path):
+    base, _ = http_server
+    # bad JSON -> 400
+    code, out = _post_err(
+        base + "/score", b"{nope", {"Content-Type": "application/json"}
+    )
+    assert code == 400 and "invalid JSON" in out["error"]
+    # JSON without a path -> 400
+    code, out = _post_err(
+        base + "/score", b"{}", {"Content-Type": "application/json"}
+    )
+    assert code == 400 and "path" in out["error"]
+    # nonexistent server-local file -> 400
+    code, out = _post_err(
+        base + "/score",
+        json.dumps({"path": str(tmp_path / "missing.wav")}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert code == 400 and "cannot decode" in out["error"]
+    # empty upload body -> 400
+    code, out = _post_err(base + "/score", b"", {"Content-Type": "audio/wav"})
+    assert code == 400
+    # undecodable upload bytes -> 400
+    code, out = _post_err(
+        base + "/score", b"not audio at all", {"Content-Type": "audio/wav"}
+    )
+    assert code == 400 and "cannot decode" in out["error"]
+    # unknown route -> 404
+    code, out = _post_err(base + "/nope", b"{}")
+    assert code == 404
+
+
+def test_http_score_batch_fills_device_batches(http_server, tmp_path):
+    """/score_batch submits every decodable row before waiting on any, so a
+    single request fills whole [batch, cut] forwards on its own; decode
+    failures stay per-item."""
+    base, server = http_server
+    rng = np.random.default_rng(11)
+    paths, wants = [], {}
+    for i in range(6):
+        p = str(tmp_path / f"c{i}.wav")
+        save_wav(p, (rng.normal(size=500 + 40 * i) * 0.2).astype(np.float32), SR)
+        paths.append(p)
+        wants[p] = float(expected_row(pad_eval(load_audio(p), "zero", CUT))[1])
+    paths.insert(3, str(tmp_path / "missing.wav"))  # mid-list failure
+
+    before = server.batcher.batches
+    code, out = _post(
+        base + "/score_batch",
+        json.dumps({"paths": paths}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert code == 200
+    results = out["results"]
+    assert [r["path"] for r in results] == paths  # request order kept
+    for r in results:
+        if r["path"] in wants:
+            assert r["score"] == pytest.approx(wants[r["path"]], abs=1e-6)
+        else:
+            assert "error" in r and "score" not in r
+    # 6 rows at batch_size 4 -> 2 device batches, not 6
+    assert server.batcher.batches - before == 2
+
+
+def test_http_calibration_applied(tmp_path):
+    server = make_server(
+        fake_batch_score, cut=CUT, port=0, batch_size=1,
+        calibration=(2.0, 0.5), padding_type="zero",
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        wav = np.full(600, 0.05, np.float32)
+        p = str(tmp_path / "c.wav")
+        save_wav(p, wav, SR)
+        raw = float(expected_row(pad_eval(load_audio(p), "zero", CUT))[1])
+        code, out = _post(
+            f"http://{host}:{port}/score",
+            json.dumps({"path": p}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        assert code == 200
+        assert out["score"] == pytest.approx(2.0 * raw + 0.5, abs=1e-5)
+        assert out["log_probs"][1] == pytest.approx(raw, abs=1e-6)  # raw kept
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+def test_http_long_audio(tmp_path):
+    """long_audio=True scores clips longer than the window as chunked crops
+    (score_long_audio semantics), short clips via the fixed window."""
+    from scl_deepfake_audio_detection_tpu.train.scoring import score_long_audio
+
+    server = make_server(
+        fake_batch_score, cut=CUT, port=0, batch_size=2,
+        long_audio=True, padding_type="repeat",
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        rng = np.random.default_rng(5)
+        long_wav = (rng.normal(size=int(CUT * 2.2)) * 0.2).astype(np.float32)
+        p = str(tmp_path / "long.wav")
+        save_wav(p, long_wav, SR)
+        dec = load_audio(p)
+        want = float(
+            np.asarray(score_long_audio(dec, fake_batch_score, window=CUT, batch=2))[1]
+        )
+        code, out = _post(
+            f"http://{host}:{port}/score",
+            json.dumps({"path": p}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        assert code == 200 and out["score"] == pytest.approx(want, abs=1e-5)
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+# --------------------------------------------------------------------------
+# CLI wiring (--serve_http builds the engine-backed scorer)
+# --------------------------------------------------------------------------
+
+
+def test_cli_serve_http_e2e(tmp_path, monkeypatch):
+    """--serve_http through main(): the CLI builds the tiny-model scorer and
+    hands it to serving.serve_http; scores over real HTTP match --serve's
+    stdin replies for the same audio."""
+    import io
+    import sys as _sys
+
+    from scl_deepfake_audio_detection_tpu import serving
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rng = np.random.default_rng(21)
+    p = str(tmp_path / "s.wav")
+    save_wav(p, (rng.normal(size=5000) * 0.2).astype(np.float32), SR)
+
+    # stdin --serve reply for the same file = the parity target
+    monkeypatch.setattr("sys.stdin", io.StringIO(p + "\n"))
+    out = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", out)
+    assert main(["--serve", "--ssl_preset", "tiny",
+                 "--config", "configs/conf-3-linear.yaml"]) == 0
+    want = float(out.getvalue().strip().split("\t")[1])
+
+    captured = {}
+    real_serve_http = serving.serve_http
+
+    def capture_serve_http(batch_score, **kw):
+        # run the real server, drive one request, then return (no
+        # serve_forever block inside the test)
+        server = serving.make_server(batch_score, **kw)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        host, port = server.server_address[:2]
+        try:
+            code, reply = _post(
+                f"http://{host}:{port}/score",
+                json.dumps({"path": p}).encode(),
+                {"Content-Type": "application/json"},
+            )
+            captured["code"] = code
+            captured["reply"] = reply
+            captured["kw"] = kw
+        finally:
+            server.shutdown()
+            server.close()
+            t.join(timeout=10)
+        return 0
+
+    monkeypatch.setattr(serving, "serve_http", capture_serve_http)
+    assert real_serve_http is not capture_serve_http
+    rc = main(["--serve_http", "0", "--serve_batch", "2",
+               "--ssl_preset", "tiny",
+               "--config", "configs/conf-3-linear.yaml"])
+    assert rc == 0
+    assert captured["code"] == 200
+    assert captured["reply"]["score"] == pytest.approx(want, abs=5e-5)
+    assert captured["kw"]["cut"] == 64600
+    assert captured["kw"]["batch_size"] == 2
+    assert captured["kw"]["model_tag"]  # model name rode along
+
+
+def test_cli_serve_http_excludes_stdin_serve(capsys):
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rc = main(["--serve", "--serve_http", "0", "--ssl_preset", "tiny",
+               "--config", "configs/conf-3-linear.yaml"])
+    assert rc == 2
