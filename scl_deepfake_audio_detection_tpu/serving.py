@@ -110,8 +110,9 @@ class MicroBatcher:
         self.cut = int(cut)
         self.batch_size = int(batch_size)
         self.max_wait_s = max(float(max_wait_ms), 0.0) / 1e3
-        self.served = 0  # requests completed (healthz counter)
+        self.served = 0  # requests completed (healthz/metrics counter)
         self.batches = 0  # device batches run
+        self.errors = 0  # requests that failed in scoring
         self._q: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(
             target=self._run, name="scl-microbatch", daemon=True
@@ -199,6 +200,7 @@ class MicroBatcher:
                 for r in group:
                     if r.result is None:
                         r.error = e
+                        self.errors += 1
             finally:
                 self.served += len(group)
                 for r in group:
@@ -274,10 +276,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- endpoints ---------------------------------------------------------------
     def do_GET(self):  # noqa: N802
-        if self.path != "/healthz":
-            return self._json(404, {"error": f"no route {self.path!r}"})
         b: MicroBatcher = self.server.batcher  # type: ignore[attr-defined]
         cfg: ServeConfig = self.server.cfg  # type: ignore[attr-defined]
+        if self.path == "/metrics":
+            return self._metrics(b, cfg)
+        if self.path != "/healthz":
+            return self._json(404, {"error": f"no route {self.path!r}"})
         self._json(
             200,
             {
@@ -292,6 +296,34 @@ class _Handler(BaseHTTPRequestHandler):
                 "uptime_s": round(time.time() - cfg.started, 3),
             },
         )
+
+    def _metrics(self, b: MicroBatcher, cfg: ServeConfig) -> None:
+        """Prometheus text exposition (version 0.0.4) of the serve counters,
+        so the service drops into standard scrape-based monitoring."""
+        lines = [
+            "# HELP scl_serve_requests_total Scoring requests completed "
+            "(including failed ones).",
+            "# TYPE scl_serve_requests_total counter",
+            f"scl_serve_requests_total {b.served}",
+            "# HELP scl_serve_errors_total Requests that failed in scoring.",
+            "# TYPE scl_serve_errors_total counter",
+            f"scl_serve_errors_total {b.errors}",
+            "# HELP scl_serve_batches_total Device batches executed.",
+            "# TYPE scl_serve_batches_total counter",
+            f"scl_serve_batches_total {b.batches}",
+            "# HELP scl_serve_batch_capacity Rows per device batch.",
+            "# TYPE scl_serve_batch_capacity gauge",
+            f"scl_serve_batch_capacity {b.batch_size}",
+            "# HELP scl_serve_uptime_seconds Seconds since server start.",
+            "# TYPE scl_serve_uptime_seconds gauge",
+            f"scl_serve_uptime_seconds {time.time() - cfg.started:.3f}",
+        ]
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):  # noqa: N802
         batcher: MicroBatcher = self.server.batcher  # type: ignore[attr-defined]

@@ -200,6 +200,17 @@ def test_http_score_json_path_and_upload(http_server, tmp_path):
     assert health["model"] == "fake" and health["cut"] == CUT
     assert health["served"] >= 2 and health["batches"] >= 2
 
+    # Prometheus text exposition mirrors the same counters
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert f"scl_serve_requests_total {health['served']}" in text
+    assert f"scl_serve_batches_total {health['batches']}" in text
+    assert "scl_serve_errors_total 0" in text
+    assert f"scl_serve_batch_capacity 4" in text
+    assert "# TYPE scl_serve_requests_total counter" in text
+
 
 def test_http_client_errors(http_server, tmp_path):
     base, _ = http_server
