@@ -270,8 +270,16 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # an hour of 16 kHz float32 is ~230 MB; anything bigger is a client bug,
+    # not audio — reject instead of buffering it into RAM
+    MAX_BODY = 256 * 1024 * 1024
+
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length") or 0)
+        if n > self.MAX_BODY:
+            raise _ClientError(
+                f"body of {n} bytes exceeds the {self.MAX_BODY}-byte limit"
+            )
         return self.rfile.read(n) if n else b""
 
     # -- endpoints ---------------------------------------------------------------

@@ -242,6 +242,12 @@ def test_http_client_errors(http_server, tmp_path):
     # unknown route -> 404
     code, out = _post_err(base + "/nope", b"{}")
     assert code == 404
+    # oversized Content-Length -> 400 before any buffering
+    code, out = _post_err(
+        base + "/score", b"x",
+        {"Content-Type": "audio/wav", "Content-Length": str(1 << 30)},
+    )
+    assert code == 400 and "exceeds" in out["error"]
 
 
 def test_http_score_batch_fills_device_batches(http_server, tmp_path):
