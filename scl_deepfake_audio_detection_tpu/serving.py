@@ -114,6 +114,7 @@ class MicroBatcher:
         self.batches = 0  # device batches run
         self.errors = 0  # requests that failed in scoring
         self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
         self._worker = threading.Thread(
             target=self._run, name="scl-microbatch", daemon=True
         )
@@ -125,6 +126,8 @@ class MicroBatcher:
         row = np.asarray(row, dtype=np.float32)
         if row.shape != (self.cut,):
             raise ValueError(f"row shape {row.shape} != ({self.cut},)")
+        if self._closed:  # a submit after close() would hang forever
+            raise RuntimeError("MicroBatcher is closed")
         req = _Request(row)
         self._q.put(req)
         return req
@@ -140,6 +143,8 @@ class MicroBatcher:
         program, serialized with everything else), so long clips never
         introduce a second compiled shape or concurrent device calls.
         """
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
         req = _Request(None, long_wav=np.asarray(wav, dtype=np.float32))
         self._q.put(req)
         return req.wait()
@@ -207,6 +212,7 @@ class MicroBatcher:
                     r.event.set()
 
     def close(self) -> None:
+        self._closed = True
         self._q.put(_STOP)
         self._worker.join(timeout=30)
 

@@ -78,6 +78,15 @@ def test_microbatcher_rejects_bad_row_and_wrong_batch_size():
         MicroBatcher(fake_batch_score, cut=CUT, batch_size=0)
 
 
+def test_microbatcher_submit_after_close_raises():
+    b = MicroBatcher(fake_batch_score, cut=CUT, batch_size=2, max_wait_ms=0)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros(CUT, np.float32))
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit_long(np.zeros(CUT * 2, np.float32))
+
+
 def test_microbatcher_error_propagates_then_recovers():
     """A scoring failure reaches every waiter as RuntimeError; the worker
     survives and serves the next request."""
