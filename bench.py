@@ -130,50 +130,102 @@ def _train_ms_probe(on_tpu: bool, timeout_s: float = 1500.0):
     return None
 
 
-def main() -> int:
-    if not _accelerator_responsive():
-        # force CPU BEFORE the first in-process backend init (config beats
-        # the site plugin's env override; same pattern as tests/conftest.py)
-        import jax
+def _eval_utt_per_sec(on_tpu: bool) -> float:
+    """The headline measurement: chained bf16 eval forwards of the flagship.
 
-        jax.config.update("jax_platforms", "cpu")
+    TPU: XLS-R 300M + linear head at [16, 64600] — batch 16 measured fastest
+    on v5e (utt/s: 8->695, 12->748, 16->811, 20->727, 24->764, 32->749,
+    48->560); re-sweep if the model changes.  The iteration count is part of
+    the metric's definition: one fixed ~35-40 ms readback RTT through the
+    tunnel amortizes over iters (sweep in PERFORMANCE.md: 10->719,
+    25->804..816, 100->859 utt/s vs the 874 device rate) — 25 keeps
+    round-over-round numbers comparable.  CPU: the tiny smoke shape."""
     import jax
 
+    from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
     from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
     from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
-
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16", attention_impl="auto")
-        # batch 16 measured fastest on v5e (utt/s: 8->695, 12->748, 16->811,
-        # 20->727, 24->764, 32->749, 48->560); re-sweep if the model changes
-        batch, samples, iters, warmup = 16, 64600, 25, 3
-    else:  # CPU smoke fallback so the bench never hard-fails
-        ssl = XLSRConfig.tiny()
-        batch, samples, iters, warmup = 4, 6460, 3, 1
-
-    from scl_deepfake_audio_detection_tpu.models.base import cast_matmul_params
     from scl_deepfake_audio_detection_tpu.utils.measure import (
         chained_eval_throughput,
     )
 
+    ssl, (batch, samples, iters, warmup) = _eval_config(on_tpu)
     model = LinearNLL(ssl=ssl)
     params = model.init(jax.random.key(0))
     # inference-only: one host-side cast instead of per-call weight converts
     params = cast_matmul_params(params, ssl.compute_dtype)
-
     wav = (
         np.random.default_rng(0).normal(size=(batch, samples)).astype(np.float32)
         * 0.1
     )
-    # NOTE the iteration count is part of the metric's definition: one fixed
-    # ~35-40 ms readback RTT through the tunnel amortizes over iters (sweep
-    # in PERFORMANCE.md: 10->719, 25->804..816, 100->859 utt/s vs the 874
-    # device rate) — 25 keeps round-over-round numbers comparable.
     utt_per_sec, _ = chained_eval_throughput(
         model, params, wav, iters=iters, warmup=warmup
     )
-    del params  # free the eval weights before the train-step measure
+    return utt_per_sec
+
+
+def _eval_config(on_tpu: bool):
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+
+    if on_tpu:
+        ssl = XLSRConfig.xlsr_300m(compute_dtype="bfloat16",
+                                   attention_impl="auto")
+        return ssl, (16, 64600, 25, 3)
+    return XLSRConfig.tiny(), (4, 6460, 3, 1)
+
+
+def _eval_probe(timeout_s: float = 1500.0):
+    """Run the TPU eval measurement TIME-BOXED in a subprocess (same rationale
+    as _train_ms_probe: the tunnel can die AFTER the startup probe passed —
+    observed live 2026-08-19 — and an in-process hang would cost the round
+    its whole bench artifact, not just this line).  Returns utt/s or None;
+    one retry on an implausible value."""
+    import subprocess
+
+    code = ("import bench\n"
+            "print('EVAL_UTT_S=%r' % bench._eval_utt_per_sec(True))\n")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, cwd=repo,
+                capture_output=True, text=True, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            print("eval probe timed out", file=sys.stderr)
+            return None
+        v = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("EVAL_UTT_S="):
+                v = float(line.split("=", 1)[1])
+        if v is not None and 1.0 < v < 1e5:
+            return v
+        print(f"eval probe implausible (attempt {attempt}): {v!r} "
+              f"rc={proc.returncode} {proc.stderr[-500:]}", file=sys.stderr)
+    return None
+
+
+def main() -> int:
+    on_tpu = _accelerator_responsive()
+    utt_per_sec = None
+    if on_tpu:
+        # time-boxed out-of-process so a mid-measurement tunnel death can't
+        # hang the driver's round-end artifact run
+        utt_per_sec = _eval_probe()
+        if utt_per_sec is None:
+            on_tpu = False  # chip died between probe and measure
+    if utt_per_sec is None:
+        # CPU smoke fallback so the bench never hard-fails.  Force CPU
+        # BEFORE the first in-process backend init (config beats the site
+        # plugin's env override; same pattern as tests/conftest.py) — safe
+        # here because the TPU path above never touched a backend in-process
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        utt_per_sec = _eval_utt_per_sec(False)
+    ssl, (batch, samples, _, _) = _eval_config(on_tpu)
     # time-boxed subprocess + plausibility check: a tunnel hang or latency
     # spike during the train probe must never cost the measured eval line
     train_ms = _train_ms_probe(on_tpu)
@@ -195,7 +247,10 @@ def main() -> int:
                 f"torch-CPU reference proxy {baseline} utt/s "
                 "(BASELINE_MEASURED.json)" if baseline else None
             ),
-            "backend": jax.default_backend(),
+            # probe-verified; the parent process never initializes a
+            # backend on the TPU path (both measurements run time-boxed
+            # in subprocesses)
+            "backend": "tpu" if on_tpu else "cpu",
             "batch": batch,
             "samples": samples,
             "model": "xlsr_300m+linear_nll" if on_tpu else "tiny smoke",

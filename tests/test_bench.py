@@ -18,6 +18,15 @@ def test_train_ms_per_step_cpu_smoke():
     assert np.isfinite(ms) and ms > 0, ms
 
 
+def test_eval_utt_per_sec_cpu_smoke():
+    """The extracted eval measurement (now run time-boxed in a subprocess on
+    the TPU path) works in-process on the CPU smoke config."""
+    import bench
+
+    v = bench._eval_utt_per_sec(on_tpu=False)
+    assert np.isfinite(v) and v > 0, v
+
+
 def test_baseline_denominator_present():
     import bench
 
