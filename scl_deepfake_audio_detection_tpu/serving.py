@@ -445,6 +445,10 @@ class ScoreServer(ThreadingHTTPServer):
     """ThreadingHTTPServer carrying the batcher + scoring policy."""
 
     daemon_threads = True
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients gets connection-reset before a handler thread even spawns
+    # (caught by scripts/measure_serving.py at 64 clients)
+    request_queue_size = 512
 
     def __init__(self, addr, batcher: MicroBatcher, cfg: ServeConfig):
         super().__init__(addr, _Handler)
