@@ -115,6 +115,10 @@ class MicroBatcher:
         self.errors = 0  # requests that failed in scoring
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # serializes the closed-check+enqueue against close(): without it a
+        # request could slip into the queue after _STOP and block its waiter
+        # forever (its group would never run)
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="scl-microbatch", daemon=True
         )
@@ -126,10 +130,11 @@ class MicroBatcher:
         row = np.asarray(row, dtype=np.float32)
         if row.shape != (self.cut,):
             raise ValueError(f"row shape {row.shape} != ({self.cut},)")
-        if self._closed:  # a submit after close() would hang forever
-            raise RuntimeError("MicroBatcher is closed")
         req = _Request(row)
-        self._q.put(req)
+        with self._submit_lock:
+            if self._closed:  # a submit after close() would hang forever
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(req)
         return req
 
     def submit(self, row: np.ndarray) -> np.ndarray:
@@ -143,10 +148,11 @@ class MicroBatcher:
         program, serialized with everything else), so long clips never
         introduce a second compiled shape or concurrent device calls.
         """
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         req = _Request(None, long_wav=np.asarray(wav, dtype=np.float32))
-        self._q.put(req)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(req)
         return req.wait()
 
     # -- worker ------------------------------------------------------------------
@@ -212,9 +218,23 @@ class MicroBatcher:
                     r.event.set()
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(_STOP)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(_STOP)  # under the lock: nothing can enqueue after it
         self._worker.join(timeout=30)
+        # belt-and-braces: if the worker died abnormally, fail any stragglers
+        # instead of leaving their wait() blocked forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _STOP and item.result is None:
+                item.error = RuntimeError("MicroBatcher closed before scoring")
+                self.errors += 1
+                item.event.set()
 
 
 @dataclass
@@ -283,6 +303,10 @@ class _Handler(BaseHTTPRequestHandler):
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length") or 0)
         if n > self.MAX_BODY:
+            # replying without draining n bytes would desync a keep-alive
+            # stream (the unread body parses as the next request) — drop the
+            # connection instead of reading 256MB+ just to discard it
+            self.close_connection = True
             raise _ClientError(
                 f"body of {n} bytes exceeds the {self.MAX_BODY}-byte limit"
             )
@@ -347,6 +371,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._score_one(batcher, cfg)
             if self.path == "/score_batch":
                 return self._score_batch(batcher, cfg)
+            # 404 without reading the body: close so leftover body bytes
+            # can't be parsed as the next request on this connection
+            self.close_connection = True
             return self._json(404, {"error": f"no route {self.path!r}"})
         except _ClientError as e:
             return self._json(400, {"error": str(e)})

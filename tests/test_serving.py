@@ -259,6 +259,78 @@ def test_http_client_errors(http_server, tmp_path):
     assert code == 400 and "exceeds" in out["error"]
 
 
+def test_microbatcher_close_idempotent_and_drains_stragglers():
+    """close() twice is safe; a request stuck in the queue after the worker
+    exits (the submit/close race window) gets an error instead of a forever-
+    blocked wait()."""
+    from scl_deepfake_audio_detection_tpu import serving as sv
+
+    b = MicroBatcher(fake_batch_score, cut=CUT, batch_size=2, max_wait_ms=0)
+    # simulate the race: the worker sees _STOP and exits while a request is
+    # still (or becomes) enqueued behind it
+    b._q.put(sv._STOP)
+    b._worker.join(timeout=10)
+    assert not b._worker.is_alive()
+    straggler = sv._Request(np.zeros(CUT, np.float32))
+    b._q.put(straggler)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed before scoring"):
+        straggler.wait()
+    assert b.errors == 1
+    b.close()  # idempotent
+
+
+def _raw_http_roundtrip(base, request_bytes):
+    """Send raw bytes on one socket; return (head, closed_after_response)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(base)
+    with socket.create_connection((u.hostname, u.port), timeout=30) as s:
+        s.sendall(request_bytes)
+        s.settimeout(30)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        head, _, rest = data.partition(b"\r\n\r\n")
+        # read any body already buffered, then check for EOF = server closed
+        try:
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    return head, True
+        except socket.timeout:
+            return head, False
+
+
+def test_http_undrained_body_closes_connection(http_server):
+    """Replying without draining the body (404 route / oversized length) must
+    close the connection — otherwise leftover body bytes desync keep-alive
+    and get parsed as the next request."""
+    base, _ = http_server
+    # 404 with an unread body on a keep-alive connection
+    body = b"x" * 100
+    req = (
+        b"POST /nope HTTP/1.1\r\nHost: t\r\nConnection: keep-alive\r\n"
+        b"Content-Length: 100\r\n\r\n" + body
+    )
+    head, closed = _raw_http_roundtrip(base, req)
+    assert b"404" in head.split(b"\r\n")[0]
+    assert b"Connection: close" in head or closed
+    # oversized Content-Length, body never sent
+    req2 = (
+        b"POST /score HTTP/1.1\r\nHost: t\r\nConnection: keep-alive\r\n"
+        b"Content-Type: audio/wav\r\n"
+        b"Content-Length: 1073741824\r\n\r\n"
+    )
+    head2, closed2 = _raw_http_roundtrip(base, req2)
+    assert b"400" in head2.split(b"\r\n")[0]
+    assert b"Connection: close" in head2 or closed2
+
+
 def test_http_score_batch_fills_device_batches(http_server, tmp_path):
     """/score_batch submits every decodable row before waiting on any, so a
     single request fills whole [batch, cut] forwards on its own; decode
