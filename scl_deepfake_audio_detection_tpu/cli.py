@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--model_path", type=str, default=None, help="checkpoint to load")
     p.add_argument("--comment", type=str, default=None)
+    # NII entry-config optimizer knobs (reference
+    # core_scripts/config_parse/arg_parse.py:26ff --grad-clip-norm /
+    # --accumulate; implemented in train/optim.py::make_optimizer)
+    p.add_argument("--grad_clip_norm", type=float, default=None,
+                   help="clip gradients to this global norm before the "
+                        "optimizer update (default: no clipping)")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="accumulate gradients over N steps before applying "
+                        "one optimizer update (optax.MultiSteps)")
     # eval modes (reference main.py:247-254)
     p.add_argument("--eval_output", type=str, default=None)
     p.add_argument("--eval", action="store_true", default=False)
@@ -668,6 +677,8 @@ def main(argv=None) -> int:
         max_lr=args.max_lr,
         weight_decay=args.weight_decay,
         loss=args.loss,
+        grad_clip_norm=args.grad_clip_norm,
+        grad_accum_steps=args.grad_accum_steps,
         padding_type=args.padding_type,
         seed=args.seed,
         comment=args.comment,

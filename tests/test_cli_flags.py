@@ -145,3 +145,41 @@ def test_device_aug_rejects_unsupported_method_sets(tmp_path):
     rc = main(["--config", str(p), "--database_path", str(db),
                "--device_aug", "--ssl_preset", "tiny", "--num_epochs", "1"])
     assert rc == 2
+
+
+def test_grad_clip_accum_flags_reach_the_optimizer(monkeypatch, tmp_path):
+    """--grad_clip_norm / --grad_accum_steps (the NII entry config's
+    --grad-clip-norm / --accumulate, reference
+    core_scripts/config_parse/arg_parse.py:26ff) must flow from the parser
+    into the TrainConfig the Engine is built with — the optimizer math
+    itself is pinned in test_train_tools."""
+    import yaml
+
+    from scl_deepfake_audio_detection_tpu.cli import main
+    from scl_deepfake_audio_detection_tpu.train import engine as eng
+
+    captured = {}
+
+    class _Capture(Exception):
+        pass
+
+    def fake_engine(model, cfg, mesh=None):
+        captured["cfg"] = cfg
+        raise _Capture
+
+    monkeypatch.setattr(eng, "Engine", fake_engine)
+    cfg = {"model": {"name": "wav2vec2_linear_nll"},
+           "data": {"name": "asvspoof_2019_augall_3"}}
+    p = tmp_path / "c.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    with pytest.raises(_Capture):
+        main(["--config", str(p), "--ssl_preset", "tiny",
+              "--grad_clip_norm", "3.5", "--grad_accum_steps", "4"])
+    assert captured["cfg"].grad_clip_norm == 3.5
+    assert captured["cfg"].grad_accum_steps == 4
+    # defaults: no clipping, no accumulation
+    captured.clear()
+    with pytest.raises(_Capture):
+        main(["--config", str(p), "--ssl_preset", "tiny"])
+    assert captured["cfg"].grad_clip_norm is None
+    assert captured["cfg"].grad_accum_steps == 1
