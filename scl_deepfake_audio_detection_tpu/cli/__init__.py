@@ -28,6 +28,18 @@ __all__ = ["build_parser", "main"]
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # SCL_PLATFORM=cpu|tpu pins the jax backend for subprocess drivers
+    # (weights-day rehearsal, CI) where flags can't reach in: the site
+    # plugin overrides JAX_PLATFORMS, so only the config knob sticks
+    # (CLAUDE.md "Environment quirks").  Unset = jax's own default.
+    import os
+
+    plat = os.environ.get("SCL_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     from .common import CliError
 
     try:
