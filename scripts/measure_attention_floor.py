@@ -18,6 +18,11 @@ reconciliation rests on numbers, not inference:
             program (block_q = block_kv = padded T): no online-softmax
             rescale, one S tile VMEM-resident — the third kernel shape
             VERDICT r3 asked for (fwd only, the eval path)
+  *_scan24  the same op lax.scan-chained 24x inside ONE jit (like the
+            model's layer scan), reported PER LAYER: the single-op rows
+            above sit on the tunnel's ~0.5 ms/call dispatch floor
+            (PERFORMANCE.md "async dispatch 0.51 ms/call"), so only the
+            scanned rows measure the op itself
 
 Each timing chains iterations through the op's own output and ends on a
 host readback (utils/measure methodology).  Standalone softmax/exp numbers
@@ -116,11 +121,46 @@ def main():
             return out, (out[0, 0, 0, 0] * 1e-30).astype(q.dtype)
         return f_flash1
 
+    # 24x-in-one-jit variants: amortize the per-call dispatch floor away,
+    # exactly as the model's layer scan does.  Chained through the carry.
+    @jax.jit
+    def f_attn_scan(q, k, v, feed):
+        def body(c, _):
+            out = A.attention_reference(c, k, v, kv_len=t)
+            return out.astype(c.dtype), None
+        out, _ = jax.lax.scan(body, q + feed, None, length=24)
+        return out, (out[0, 0, 0, 0] * 1e-30).astype(q.dtype)
+
+    @jax.jit
+    def f_softmax_scan(s, feed):
+        def body(c, _):
+            return jax.nn.softmax(c, axis=-1) + 1e-9, None
+        out, _ = jax.lax.scan(body, s + feed, None, length=24)
+        return out, out[0, 0, 0, 0] * 1e-30
+
+    @jax.jit
+    def f_qk_scan(q, k, feed):
+        def body(c, _):
+            s = jnp.einsum("bhqd,bhkd->bhqk", c, k,
+                           preferred_element_type=jnp.float32)
+            # fold scores back to a q-shaped carry via the AV-shaped einsum
+            # so the scan chains GEMM->GEMM like the real layer does
+            out = jnp.einsum("bhqk,bhkd->bhqd", s.astype(c.dtype), k)
+            return (out * 1e-3).astype(c.dtype), None
+        out, _ = jax.lax.scan(body, q + feed, None, length=24)
+        return out, (out[0, 0, 0, 0] * 1e-30).astype(q.dtype)
+
     rows = {}
     rows["qk"] = time_op(f_qk, (q, k), iters)
     rows["exp"] = time_op(f_exp, (s32,), iters)
     rows["softmax"] = time_op(f_softmax, (s32,), iters)
     rows["attn"] = time_op(f_attn, (q, k, v), iters)
+    scan_iters = max(iters // 8, 20)
+    rows["qk2_scan24/layer"] = time_op(f_qk_scan, (q, k), scan_iters) / 24
+    rows["softmax_scan24/layer"] = time_op(f_softmax_scan, (s32,),
+                                           scan_iters) / 24
+    rows["attn_scan24/layer"] = time_op(f_attn_scan, (q, k, v),
+                                        scan_iters) / 24
     for block in (256,):
         try:
             rows[f"flash1_{block}"] = time_op(make_flash1(block), (q, k, v),
@@ -142,10 +182,13 @@ def main():
     print(f"analytic: score tensor {s_bytes/1e6:.1f} MB; standalone "
           f"exp/softmax pay ~{2*s_bytes/hbm*1e6:.0f} us HBM in+out that "
           f"in-model fusion does not", flush=True)
-    if "softmax" in rows and "exp" in rows:
-        vpu_exp = rows["exp"] * 1000 - 2 * s_bytes / hbm * 1e6
-        print(f"=> VPU-arith share of exp alone: ~{vpu_exp:.0f} us per layer "
-              f"(x24 layers = {vpu_exp*24/1000:.2f} ms/forward)", flush=True)
+    if "attn_scan24/layer" in rows and "qk2_scan24/layer" in rows:
+        gap = (rows["attn_scan24/layer"] - rows["qk2_scan24/layer"]) * 1000
+        print(f"=> dispatch-free per-layer attention "
+              f"{rows['attn_scan24/layer']*1000:.0f} us, of which GEMMs "
+              f"{rows['qk2_scan24/layer']*1000:.0f} us -> softmax+mask adds "
+              f"~{gap:.0f} us/layer ({gap*24/1000:.2f} ms per 24-layer "
+              f"forward)", flush=True)
     return 0
 
 
