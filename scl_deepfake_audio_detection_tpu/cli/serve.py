@@ -61,8 +61,32 @@ def run(args, ctx: RunContext) -> int:
     if args.serve_http is not None:
         from scl_deepfake_audio_detection_tpu.serving import serve_http
 
+        wire16 = args.wire_dtype == "int16" and scorer is None
+        if args.wire_dtype == "int16" and scorer is not None:
+            print("serve_http: --wire_dtype int16 needs the in-process "
+                  "engine (export artifacts take float32); using float32",
+                  file=sys.stderr)
+
+        def batch_score_async(block):
+            """HTTP path: return the UN-read device array so the
+            MicroBatcher's two-in-flight pipeline can overlap this batch's
+            upload+compute with the previous batch's readback (export
+            artifacts read back inside scorer.score — they degrade to the
+            serial loop).  --wire_dtype int16 ships the batch as PCM16
+            (half the host->device bytes; score_step rescales on device —
+            measured the serving bottleneck on a tunneled chip)."""
+            if scorer is not None:
+                return scorer.score(block)
+            if wire16:
+                from scl_deepfake_audio_detection_tpu.utils.audio_io import (
+                    pcm16_encode,
+                )
+
+                block = pcm16_encode(block)
+            return engine.score_step(params, buffers, jax.numpy.asarray(block))
+
         return serve_http(
-            batch_score,
+            batch_score_async,
             cut=cut,
             host=args.serve_host,
             port=args.serve_http,

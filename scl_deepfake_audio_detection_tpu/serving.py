@@ -113,6 +113,12 @@ class MicroBatcher:
         self.served = 0  # requests completed (healthz/metrics counter)
         self.batches = 0  # device batches run
         self.errors = 0  # requests that failed in scoring
+        # worker-time decomposition (healthz/metrics): seconds spent issuing
+        # batch_score calls vs blocked on result readback.  Under jax's async
+        # dispatch these are the two ends of the pipeline; everything else
+        # the worker does (block assembly, reply fan-out) is host time.
+        self.dispatch_s = 0.0
+        self.readback_s = 0.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         # serializes the closed-check+enqueue against close(): without it a
@@ -176,46 +182,125 @@ class MicroBatcher:
         return group
 
     def _run(self) -> None:
+        # Two batches in flight (same overlap as the eval writer's
+        # train/scoring._pipelined): batch_score under jax returns an
+        # un-read device array, so dispatching group N+1 BEFORE reading
+        # back group N overlaps N+1's upload+compute with N's readback —
+        # on a tunneled chip the readback RTT otherwise serializes every
+        # batch.  Degrades to the old serial loop when batch_score blocks
+        # internally (e.g. wraps np.asarray) or when the queue runs dry
+        # (a lone request's reply is never held back).
+        pending = None  # (group, rows, un-read batch_score result)
         while True:
-            item = self._q.get()
+            if pending is None:
+                item = self._q.get()
+            else:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    pending = self._finalize(pending)
+                    continue
             if item is _STOP:
+                self._finalize(pending)
                 return
             group = self._collect(item)
-            # long clips score individually (chunk count varies per clip);
-            # fixed-window rows share one block
-            rows = [r for r in group if r.row is not None]
-            try:
-                if rows:
-                    block = np.zeros((self.batch_size, self.cut), np.float32)
-                    for i, r in enumerate(rows):
-                        block[i] = r.row
-                    lp = np.asarray(self.batch_score(block))
-                    self.batches += 1
-                    for i, r in enumerate(rows):
-                        r.result = lp[i]
-                for r in group:
-                    if r.long_wav is not None:
-                        from scl_deepfake_audio_detection_tpu.train.scoring import (
-                            score_long_audio,
-                        )
+            if any(r.long_wav is not None for r in group):
+                # long clips score individually (chunk count varies per
+                # clip) and block inside score_long_audio: drain the pipe
+                # and run the whole group serially
+                pending = self._finalize(pending)
+                self._score_serial(group)
+                continue
+            dispatched = self._dispatch(group)
+            pending = self._finalize(pending)
+            pending = dispatched
 
-                        r.result = np.asarray(
-                            score_long_audio(
-                                r.long_wav,
-                                self.batch_score,
-                                window=self.cut,
-                                batch=self.batch_size,
-                            )
+    def _dispatch(self, group: Sequence["_Request"]):
+        """Issue one device batch for a rows-only group without waiting on
+        the result; on a dispatch-time error fail the group immediately."""
+        rows = [r for r in group if r.row is not None]
+        block = np.zeros((self.batch_size, self.cut), np.float32)
+        for i, r in enumerate(rows):
+            block[i] = r.row
+        try:
+            t0 = time.monotonic()
+            out = self.batch_score(block)
+            self.dispatch_s += time.monotonic() - t0
+        except BaseException as e:
+            self._fail(group, e)
+            return None
+        return (group, rows, out)
+
+    def _finalize(self, pending):
+        """Read back a dispatched batch and fan out replies.  Returns None
+        (the new pending state) so callers can write ``pending = ...``."""
+        if pending is None:
+            return None
+        group, rows, out = pending
+        try:
+            t0 = time.monotonic()
+            lp = np.asarray(out)
+            self.readback_s += time.monotonic() - t0
+            self.batches += 1
+            for i, r in enumerate(rows):
+                r.result = lp[i]
+        except BaseException as e:  # propagate to every waiter, keep serving
+            for r in group:
+                if r.result is None:
+                    r.error = e
+                    self.errors += 1
+        finally:
+            self.served += len(group)
+            for r in group:
+                r.event.set()
+        return None
+
+    def _fail(self, group: Sequence["_Request"], e: BaseException) -> None:
+        for r in group:
+            if r.result is None:
+                r.error = e
+                self.errors += 1
+        self.served += len(group)
+        for r in group:
+            r.event.set()
+
+    def _score_serial(self, group: Sequence["_Request"]) -> None:
+        """The serial path for groups containing long clips: fixed-window
+        rows share one block, then each long clip scores via windowed
+        crops (same compiled shape, same worker — never concurrent)."""
+        rows = [r for r in group if r.row is not None]
+        try:
+            if rows:
+                block = np.zeros((self.batch_size, self.cut), np.float32)
+                for i, r in enumerate(rows):
+                    block[i] = r.row
+                lp = np.asarray(self.batch_score(block))
+                self.batches += 1
+                for i, r in enumerate(rows):
+                    r.result = lp[i]
+            for r in group:
+                if r.long_wav is not None:
+                    from scl_deepfake_audio_detection_tpu.train.scoring import (
+                        score_long_audio,
+                    )
+
+                    r.result = np.asarray(
+                        score_long_audio(
+                            r.long_wav,
+                            self.batch_score,
+                            window=self.cut,
+                            batch=self.batch_size,
                         )
-            except BaseException as e:  # propagate to every waiter, keep serving
-                for r in group:
-                    if r.result is None:
-                        r.error = e
-                        self.errors += 1
-            finally:
-                self.served += len(group)
-                for r in group:
-                    r.event.set()
+                    )
+        except BaseException as e:  # propagate to every waiter, keep serving
+            for r in group:
+                if r.result is None:
+                    r.error = e
+                    self.errors += 1
+        finally:
+            self.served += len(group)
+            for r in group:
+                r.event.set()
 
     def close(self) -> None:
         with self._submit_lock:
@@ -331,6 +416,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "calibrated": cfg.calibration is not None,
                 "served": b.served,
                 "batches": b.batches,
+                "dispatch_s": round(b.dispatch_s, 3),
+                "readback_s": round(b.readback_s, 3),
                 "uptime_s": round(time.time() - cfg.started, 3),
             },
         )
@@ -352,6 +439,14 @@ class _Handler(BaseHTTPRequestHandler):
             "# HELP scl_serve_batch_capacity Rows per device batch.",
             "# TYPE scl_serve_batch_capacity gauge",
             f"scl_serve_batch_capacity {b.batch_size}",
+            "# HELP scl_serve_dispatch_seconds_total Worker seconds issuing "
+            "device batches (async dispatch).",
+            "# TYPE scl_serve_dispatch_seconds_total counter",
+            f"scl_serve_dispatch_seconds_total {b.dispatch_s:.3f}",
+            "# HELP scl_serve_readback_seconds_total Worker seconds blocked "
+            "on device result readback.",
+            "# TYPE scl_serve_readback_seconds_total counter",
+            f"scl_serve_readback_seconds_total {b.readback_s:.3f}",
             "# HELP scl_serve_uptime_seconds Seconds since server start.",
             "# TYPE scl_serve_uptime_seconds gauge",
             f"scl_serve_uptime_seconds {time.time() - cfg.started:.3f}",

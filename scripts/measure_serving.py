@@ -52,6 +52,7 @@ def main():
     concurrency = opt(argv, "--concurrency", 64, int)
     samples = opt(argv, "--samples", 64600, int)
     n_files = opt(argv, "--files", 32, int)
+    wire = opt(argv, "--wire", "float32", str)  # float32 | int16
     cpu = "--cpu" in argv  # smoke mode: skip the (possibly tunneled) chip
 
     import jax
@@ -79,11 +80,24 @@ def main():
     def _score(params, wav):
         return model.apply(params, wav, train=False).log_probs
 
+    from scl_deepfake_audio_detection_tpu.ops.layers import dewire_pcm16
+    from scl_deepfake_audio_detection_tpu.utils.audio_io import pcm16_encode
+
+    @jax.jit
+    def _score16(params, wav16):
+        return model.apply(
+            params, dewire_pcm16(wav16), train=False
+        ).log_probs
+
     def batch_score(block):
-        return np.asarray(_score(params, jax.numpy.asarray(block)))
+        # un-read device array: lets the MicroBatcher pipeline overlap
+        # upload+compute with the previous batch's readback
+        if wire == "int16":  # PCM16 wire: half the upload bytes
+            return _score16(params, jax.numpy.asarray(pcm16_encode(block)))
+        return _score(params, jax.numpy.asarray(block))
 
     print(f"backend {jax.default_backend()}, preset {preset}, "
-          f"serve_batch {batch}, wait {wait_ms} ms, "
+          f"serve_batch {batch}, wait {wait_ms} ms, wire {wire}, "
           f"{n} requests x {concurrency} client threads", flush=True)
 
     tmp = tempfile.mkdtemp(prefix="serve_bench_")
@@ -145,6 +159,7 @@ def main():
             lat[i] = (time.perf_counter() - t) * 1e3
 
     threads = [threading.Thread(target=client) for _ in range(concurrency)]
+    d0, r0 = server.batcher.dispatch_s, server.batcher.readback_s
     t0 = time.perf_counter()
     for t in threads:
         t.start()
@@ -164,6 +179,12 @@ def main():
           f"p95 {np.percentile(lat, 95):.0f} ms | "
           f"mean batch fill {fill:.1f}/{batch} "
           f"({b.batches} device batches, {b.served} served)", flush=True)
+    disp, rb = b.dispatch_s - d0, b.readback_s - r0
+    print(f"worker decomposition (load phase): dispatch {disp:.2f} s + "
+          f"readback {rb:.2f} s of {wall:.1f} s wall -> "
+          f"{wall - disp - rb:.2f} s worker-idle/host "
+          f"(HTTP/decode/assembly/GIL; in-process clients share this "
+          f"1-core host)", flush=True)
     server.shutdown()
     server.close()
     return 0

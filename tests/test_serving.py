@@ -110,6 +110,50 @@ def test_microbatcher_error_propagates_then_recovers():
         b.close()
 
 
+def test_microbatcher_pipelines_deferred_results():
+    """batch_score may return an UN-read result (a jax device array in
+    production): the worker keeps two batches in flight, reading back via
+    np.asarray.  Per-row values must still be exact, a readback-time
+    failure must reach exactly its own group's waiters, and the worker
+    must keep serving afterwards."""
+
+    class Deferred:
+        def __init__(self, arr, fail):
+            self.arr, self.fail = arr, fail
+
+        def __array__(self, dtype=None, copy=None):
+            if self.fail:
+                raise FloatingPointError("readback nan")
+            return self.arr
+
+    calls = {"n": 0}
+
+    def deferred_score(block):
+        calls["n"] += 1
+        return Deferred(fake_batch_score(block), fail=calls["n"] == 2)
+
+    b = MicroBatcher(deferred_score, cut=CUT, batch_size=1, max_wait_ms=0)
+    try:
+        rng = np.random.default_rng(1)
+        rows = [rng.normal(size=CUT).astype(np.float32) * 0.1
+                for _ in range(5)]
+        handles = [b.submit_async(r) for r in rows]
+        failed, ok = 0, 0
+        for r, h in zip(rows, handles):
+            try:
+                np.testing.assert_allclose(h.wait(), expected_row(r),
+                                           atol=1e-6)
+                ok += 1
+            except RuntimeError as e:
+                assert "readback nan" in str(e)
+                failed += 1
+        assert (ok, failed) == (4, 1)
+        assert b.errors == 1 and b.served == 5
+        assert b.readback_s >= 0.0 and b.dispatch_s >= 0.0
+    finally:
+        b.close()
+
+
 def test_microbatcher_long_audio_matches_direct():
     """submit_long == score_long_audio on the same scorer (chunked crops
     through the same [batch, cut] program, worker-serialized)."""
