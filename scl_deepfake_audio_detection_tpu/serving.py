@@ -9,10 +9,13 @@ protocol; this module is the network front of the same idea:
 * ``MicroBatcher`` — a single scoring worker in front of ONE fixed-shape
   jitted program.  Concurrent requests group into ``[batch, cut]`` blocks
   (a batch-1 forward leaves most of the MXU idle), waiting at most
-  ``max_wait_ms`` for co-riders, so throughput under load approaches the
-  offline eval path while solo-request latency stays one forward + the
-  wait window.  Scoring stays single-threaded by construction — exactly
-  one device program in flight, no shape churn, no device contention.
+  ``max_wait_ms`` for co-riders; the worker keeps two batches in flight
+  (dispatch N+1 before reading back N) so upload+compute overlap readback.
+  Scoring stays serialized by construction — the worker is the only thread
+  touching the device, no shape churn, no device contention.  Measured
+  load numbers + the readback/wire decomposition: PERFORMANCE.md "HTTP
+  serving under load" (on the tunneled dev chip the wire is the bottleneck;
+  on a local TPU host the ceiling is the offline eval rate minus host work).
 * ``make_server`` — a stdlib ``ThreadingHTTPServer`` (no framework deps):
   request threads do the audio decode/pad work in parallel (host-side,
   cheap) and block on the batcher for the device part.
