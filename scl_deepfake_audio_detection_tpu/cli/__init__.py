@@ -28,18 +28,6 @@ __all__ = ["build_parser", "main"]
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    # SCL_PLATFORM=cpu|tpu pins the jax backend for subprocess drivers
-    # (weights-day rehearsal, CI) where flags can't reach in: the site
-    # plugin overrides JAX_PLATFORMS, so only the config knob sticks
-    # (CLAUDE.md "Environment quirks").  Unset = jax's own default.
-    import os
-
-    plat = os.environ.get("SCL_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
     from .common import CliError
 
     try:
@@ -52,12 +40,34 @@ def main(argv=None) -> int:
 
 def _dispatch(args) -> int:
     # analysis family first: these read score/protocol text files only and
-    # must never pay a jax import or device init
+    # must never pay a jax import or device init (so the SCL_PLATFORM block
+    # below — which imports jax — must come after)
     from . import analyze
 
     rc = analyze.dispatch(args)
     if rc is not None:
         return rc
+
+    from .common import CliError
+
+    if (args.predict or args.emb) and not args.eval:
+        # the reference dispatches --predict/--emb inside --eval
+        # (main.py --eval); without the guard this would fall through to
+        # training mode with no optimizer state and crash deep in engine.fit
+        raise CliError(2, "--predict/--emb select an output format for "
+                          "--eval scoring: pass --eval as well")
+
+    # SCL_PLATFORM=cpu|tpu pins the jax backend for subprocess drivers
+    # (weights-day rehearsal, CI) where flags can't reach in: the site
+    # plugin overrides JAX_PLATFORMS, so only the config knob sticks
+    # (CLAUDE.md "Environment quirks").  Unset = jax's own default.
+    import os
+
+    plat = os.environ.get("SCL_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     from . import context
 

@@ -15,6 +15,22 @@ class CliError(Exception):
         self.message = message
 
 
+def parse_calibration(spec):
+    """Parse a ``--calibrate 'a,b'`` spec; usage error (exit 2) on anything
+    that isn't exactly two floats."""
+    if not spec:
+        return None
+    try:
+        cal = tuple(float(x) for x in spec.split(","))
+    except ValueError:
+        raise CliError(2, f"--calibrate expects 'a,b' (two floats), got "
+                          f"{spec!r}")
+    if len(cal) != 2:
+        raise CliError(2, f"--calibrate expects 'a,b' (two floats), got "
+                          f"{spec!r}")
+    return cal
+
+
 def _build_model(args, cfg):
     import jax
 

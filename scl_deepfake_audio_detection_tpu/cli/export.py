@@ -93,12 +93,9 @@ def run_verify_export(args, ctx: RunContext) -> int:
 def run_export_model(args, ctx: RunContext) -> int:
     from scl_deepfake_audio_detection_tpu.export import export_scorer
 
-    cal = None
-    if args.calibrate:
-        cal = tuple(float(x) for x in args.calibrate.split(","))
-        if len(cal) != 2:
-            print("--calibrate expects 'a,b'", file=sys.stderr)
-            return 2
+    from .common import parse_calibration
+
+    cal = parse_calibration(args.calibrate)
     meta = export_scorer(
         ctx.model, ctx.params, ctx.buffers, args.export_model,
         compute_dtype=args.compute_dtype,

@@ -33,13 +33,10 @@ def run(args, ctx: RunContext) -> int:
     else:
         cut = scorer.cut
 
-    cal = None
-    if args.calibrate:
-        cal = tuple(float(x) for x in args.calibrate.split(","))
-        if len(cal) != 2:
-            print("--calibrate expects 'a,b'", file=sys.stderr)
-            return 2
-    elif scorer is not None and scorer.calibration is not None:
+    from .common import parse_calibration
+
+    cal = parse_calibration(args.calibrate)
+    if cal is None and scorer is not None and scorer.calibration is not None:
         cal = scorer.calibration  # baked into the artifact at export
         print(f"serve: applying the artifact's calibration "
               f"a={cal[0]:.6f} b={cal[1]:.6f}", file=sys.stderr)

@@ -122,6 +122,7 @@ class MicroBatcher:
         # the worker does (block assembly, reply fan-out) is host time.
         self.dispatch_s = 0.0
         self.readback_s = 0.0
+        self._join_timeout_s = 30.0  # close() wait for the in-flight batch
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         # serializes the closed-check+enqueue against close(): without it a
@@ -272,37 +273,29 @@ class MicroBatcher:
         rows share one block, then each long clip scores via windowed
         crops (same compiled shape, same worker — never concurrent)."""
         rows = [r for r in group if r.row is not None]
-        try:
-            if rows:
-                block = np.zeros((self.batch_size, self.cut), np.float32)
-                for i, r in enumerate(rows):
-                    block[i] = r.row
-                lp = np.asarray(self.batch_score(block))
-                self.batches += 1
-                for i, r in enumerate(rows):
-                    r.result = lp[i]
-            for r in group:
-                if r.long_wav is not None:
-                    from scl_deepfake_audio_detection_tpu.train.scoring import (
-                        score_long_audio,
-                    )
+        if rows:  # same dispatch+finalize (and counters) as the pipelined path
+            self._finalize(self._dispatch(rows))
+        for r in group:
+            if r.long_wav is None:
+                continue
+            try:
+                from scl_deepfake_audio_detection_tpu.train.scoring import (
+                    score_long_audio,
+                )
 
-                    r.result = np.asarray(
-                        score_long_audio(
-                            r.long_wav,
-                            self.batch_score,
-                            window=self.cut,
-                            batch=self.batch_size,
-                        )
+                r.result = np.asarray(
+                    score_long_audio(
+                        r.long_wav,
+                        self.batch_score,
+                        window=self.cut,
+                        batch=self.batch_size,
                     )
-        except BaseException as e:  # propagate to every waiter, keep serving
-            for r in group:
-                if r.result is None:
-                    r.error = e
-                    self.errors += 1
-        finally:
-            self.served += len(group)
-            for r in group:
+                )
+            except BaseException as e:  # fail this clip, keep serving
+                r.error = e
+                self.errors += 1
+            finally:
+                self.served += 1
                 r.event.set()
 
     def close(self) -> None:
@@ -311,18 +304,26 @@ class MicroBatcher:
                 return
             self._closed = True
             self._q.put(_STOP)  # under the lock: nothing can enqueue after it
-        self._worker.join(timeout=30)
+        self._worker.join(timeout=self._join_timeout_s)
         # belt-and-braces: if the worker died abnormally, fail any stragglers
         # instead of leaving their wait() blocked forever
+        stole_stop = False
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is not _STOP and item.result is None:
+            if item is _STOP:
+                stole_stop = True
+            elif item.result is None:
                 item.error = RuntimeError("MicroBatcher closed before scoring")
                 self.errors += 1
                 item.event.set()
+        # if the join timed out (e.g. a 20-40s first compile) the worker is
+        # still alive and this drain just stole its _STOP — re-post it so the
+        # worker exits after the in-flight batch instead of blocking forever
+        if stole_stop and self._worker.is_alive():
+            self._q.put(_STOP)
 
 
 @dataclass
@@ -404,6 +405,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802
         b: MicroBatcher = self.server.batcher  # type: ignore[attr-defined]
         cfg: ServeConfig = self.server.cfg  # type: ignore[attr-defined]
+        # a GET may legally carry a body (Content-Length set); replying
+        # without draining it would desync a keep-alive stream, same as the
+        # POST 404 route — no GET route here reads a body, so close instead
+        if int(self.headers.get("Content-Length") or 0):
+            self.close_connection = True
         if self.path == "/metrics":
             return self._metrics(b, cfg)
         if self.path != "/healthz":

@@ -103,10 +103,12 @@ eer_rc=0
 python - "$OUT_DIR/analysis.json" "$EXPECTED_EER" "$EER_TOL" <<'EOF' || eer_rc=$?
 import json, sys
 report = json.load(open(sys.argv[1]))
-eer, expected, tol = report["eer"], float(sys.argv[2]), float(sys.argv[3])
-print(f"weights-day stage 2 (EER): computed {eer:.4f}% vs "
+# analysis.json stores EER as a fraction; EXPECTED_EER / EER_TOL are percent.
+eer_pct = report["eer"] * 100.0
+expected, tol = float(sys.argv[2]), float(sys.argv[3])
+print(f"weights-day stage 2 (EER): computed {eer_pct:.4f}% vs "
       f"expected {expected:.4f}% (tol {tol})")
-sys.exit(0 if abs(eer - expected) <= tol else 1)
+sys.exit(0 if abs(eer_pct - expected) <= tol else 1)
 EOF
 echo "weights-day stage 2 (EER diff): \
 $([ $eer_rc -eq 0 ] && echo PASS || echo FAIL) (rc=$eer_rc)"

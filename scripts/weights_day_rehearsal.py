@@ -105,7 +105,8 @@ def main() -> int:
                  "--protocol", os.path.join(tmp, "protocol.txt"), "--json"],
                 env)
     assert r.returncode == 0, r.stderr[-2000:]
-    expected_eer = json.loads(r.stdout.splitlines()[-1])["eer"]
+    # analysis.json stores EER as a fraction; weights_day.sh compares percent.
+    expected_eer = json.loads(r.stdout.splitlines()[-1])["eer"] * 100.0
 
     sh_env = dict(env)
     sh_env.update({

@@ -183,3 +183,33 @@ def test_grad_clip_accum_flags_reach_the_optimizer(monkeypatch, tmp_path):
         main(["--config", str(p), "--ssl_preset", "tiny"])
     assert captured["cfg"].grad_clip_norm is None
     assert captured["cfg"].grad_accum_steps == 1
+
+
+def test_predict_without_eval_is_usage_error(capsys):
+    """--predict/--emb are output formats for --eval scoring (the reference
+    dispatches them inside --eval, main.py:320-340); without --eval they
+    must be a usage error, not a fall-through into training mode."""
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    rc = main(["--predict", "--config", "configs/conf-3-linear.yaml"])
+    assert rc == 2
+    assert "--eval" in capsys.readouterr().err
+    rc = main(["--emb", "--config", "configs/conf-3-linear.yaml"])
+    assert rc == 2
+
+
+def test_parse_calibration_errors_are_usage_errors():
+    """--calibrate parsing rejects malformed specs with exit code 2 (shared
+    helper for serve + export — not a raw float() traceback)."""
+    from scl_deepfake_audio_detection_tpu.cli.common import (
+        CliError,
+        parse_calibration,
+    )
+
+    assert parse_calibration(None) is None
+    assert parse_calibration("") is None
+    assert parse_calibration("1.5,-2.0") == (1.5, -2.0)
+    for bad in ("a,b", "1.0;2.0", "1.0", "1,2,3"):
+        with pytest.raises(CliError) as e:
+            parse_calibration(bad)
+        assert e.value.code == 2

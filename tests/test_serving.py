@@ -538,3 +538,68 @@ def test_cli_serve_http_excludes_stdin_serve(capsys):
     rc = main(["--serve", "--serve_http", "0", "--ssl_preset", "tiny",
                "--config", "configs/conf-3-linear.yaml"])
     assert rc == 2
+
+
+def test_microbatcher_close_during_inflight_batch_reposts_stop():
+    """close() whose join times out while a batch is in flight (e.g. the
+    first 20-40s compile) must not steal the worker's _STOP: the drain
+    re-posts it so the worker exits instead of blocking on q.get forever."""
+    import time
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_batch_score(block):
+        started.set()
+        release.wait(timeout=30)
+        return fake_batch_score(block)
+
+    b = MicroBatcher(slow_batch_score, cut=CUT, batch_size=2, max_wait_ms=0)
+    b._join_timeout_s = 0.2
+    h = b.submit_async(np.zeros(CUT, np.float32))
+    assert started.wait(timeout=10)
+    b.close()  # join times out; drain must re-post _STOP, not swallow it
+    release.set()
+    np.testing.assert_allclose(h.wait(), expected_row(np.zeros(CUT)),
+                               atol=1e-6)
+    b._worker.join(timeout=10)
+    assert not b._worker.is_alive(), "worker leaked after close()"
+
+
+def test_microbatcher_serial_path_counters_and_isolation():
+    """A mixed rows+long group goes through the same dispatch/readback
+    accounting as the pipelined path, and a long-clip failure doesn't fail
+    the fixed-window rows that shared its group."""
+    b = MicroBatcher(fake_batch_score, cut=CUT, batch_size=4, max_wait_ms=200)
+    try:
+        row = np.full(CUT, 0.01, np.float32)
+        h_row = b.submit_async(row)  # co-rides the long clip's serial group
+        got = b.submit_long(np.ones(int(CUT * 1.5), np.float32) * 0.01)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(h_row.wait(), expected_row(row), atol=1e-6)
+        # serial-path device batches hit the same counters as the pipeline
+        assert b.batches >= 1 and b.served >= 2
+        assert b.readback_s > 0.0
+        assert b.errors == 0
+    finally:
+        b.close()
+
+
+def test_http_get_with_body_closes_connection(http_server):
+    """A GET carrying a body (legal HTTP) must close after replying — no GET
+    route reads a body, so leftover bytes would desync keep-alive."""
+    base, _ = http_server
+    req = (
+        b"GET /healthz HTTP/1.1\r\nHost: t\r\nConnection: keep-alive\r\n"
+        b"Content-Length: 10\r\n\r\n0123456789"
+    )
+    head, closed = _raw_http_roundtrip(base, req)
+    assert b"200" in head.split(b"\r\n")[0]
+    assert b"Connection: close" in head or closed
+    req2 = (
+        b"GET /nope HTTP/1.1\r\nHost: t\r\nConnection: keep-alive\r\n"
+        b"Content-Length: 4\r\n\r\nbody"
+    )
+    head2, closed2 = _raw_http_roundtrip(base, req2)
+    assert b"404" in head2.split(b"\r\n")[0]
+    assert b"Connection: close" in head2 or closed2
