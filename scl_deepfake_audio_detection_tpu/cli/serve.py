@@ -10,8 +10,6 @@ from .context import RunContext
 
 
 def run(args, ctx: RunContext) -> int:
-    import jax
-
     from scl_deepfake_audio_detection_tpu.dsp.pad import pad_eval
     from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio
 
@@ -51,9 +49,11 @@ def run(args, ctx: RunContext) -> int:
     def batch_score(block):
         if scorer is not None:
             return scorer.score(block)
-        return _np.asarray(
-            engine.score_step(params, buffers, jax.numpy.asarray(block))
-        )
+        # shard the serve batch over the mesh's data axis — same as the
+        # eval path (cli/evaluate.py): on a multi-chip host each chip
+        # scores its slice instead of replicating the whole forward
+        wav = engine.place_batch({"wav": block})["wav"]
+        return _np.asarray(engine.score_step(params, buffers, wav))
 
     if args.serve_http is not None:
         from scl_deepfake_audio_detection_tpu.serving import serve_http
@@ -80,7 +80,9 @@ def run(args, ctx: RunContext) -> int:
                 )
 
                 block = pcm16_encode(block)
-            return engine.score_step(params, buffers, jax.numpy.asarray(block))
+            # data-shard over the mesh, same as the sync path above
+            wav = engine.place_batch({"wav": block})["wav"]
+            return engine.score_step(params, buffers, wav)
 
         return serve_http(
             batch_score_async,

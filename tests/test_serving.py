@@ -603,3 +603,39 @@ def test_http_get_with_body_closes_connection(http_server):
     head2, closed2 = _raw_http_roundtrip(base, req2)
     assert b"404" in head2.split(b"\r\n")[0]
     assert b"Connection: close" in head2 or closed2
+
+
+def test_cli_serve_batch_score_data_shards_over_mesh(monkeypatch):
+    """The serve scorer shards its [batch, cut] block over the mesh's data
+    axis, same as the eval path (cli/evaluate.py) — on a multi-chip host
+    each chip scores a slice instead of replicating the whole forward."""
+    from scl_deepfake_audio_detection_tpu import serving
+    from scl_deepfake_audio_detection_tpu.cli import main
+
+    captured = {}
+
+    def capture_serve_http(batch_score, **kw):
+        captured["batch_score"] = batch_score
+        captured["cut"] = kw["cut"]
+        return 0
+
+    monkeypatch.setattr(serving, "serve_http", capture_serve_http)
+    assert main(["--serve_http", "0", "--serve_batch", "8",
+                 "--mesh", "8,1", "--ssl_preset", "tiny",
+                 "--config", "configs/conf-3-linear.yaml"]) == 0
+
+    rng = np.random.default_rng(7)
+    cut = captured["cut"]
+    block = (rng.normal(size=(8, cut)) * 0.05).astype(np.float32)
+    out = captured["batch_score"](block)  # un-read device array (async path)
+    shardings = {tuple(s.data.shape) for s in out.addressable_shards}
+    ndev = len(out.sharding.device_set)
+    assert ndev == 8, f"expected the batch on all 8 devices, got {ndev}"
+    assert shardings == {(1, 2)}, (
+        f"expected per-device [1, 2] score shards (batch data-sharded), "
+        f"got {shardings}"
+    )
+    # and the values match a replicated 1-device run of the same block
+    lp = np.asarray(out)
+    one = captured["batch_score"](block[:1].repeat(8, axis=0))
+    np.testing.assert_allclose(np.asarray(one)[0], lp[0], atol=1e-5)
