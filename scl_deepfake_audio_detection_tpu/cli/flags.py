@@ -234,6 +234,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--serve_http: max time a request waits for "
                         "co-riders before a partial batch runs (the "
                         "latency/throughput knob of micro-batching)")
+    p.add_argument("--serve_max_queue", type=int, default=256,
+                   help="--serve_http: shed load with HTTP 503 once this "
+                        "many requests are queued in the micro-batcher "
+                        "(bounded queue = bounded loaded latency; 0 = "
+                        "unbounded)")
     p.add_argument("--distill_from", type=str, default=None, metavar="CKPT",
                    help="train the configured model as a DISTILLATION "
                         "student of this frozen teacher checkpoint (our "

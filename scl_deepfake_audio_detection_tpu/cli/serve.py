@@ -91,6 +91,7 @@ def run(args, ctx: RunContext) -> int:
             port=args.serve_http,
             batch_size=sb,
             max_wait_ms=args.serve_wait_ms,
+            max_queue=args.serve_max_queue or None,
             padding_type=args.padding_type,
             calibration=cal,
             long_audio=args.long_audio,

@@ -70,6 +70,14 @@ _CONTENT_SUFFIX = {
 }
 
 
+class ServerBusy(RuntimeError):
+    """Raised by submit when the pending queue is at ``max_queue`` — maps to
+    HTTP 503.  Bounded queues keep loaded-latency bounded: past the device's
+    sustained rate, queueing only grows wait time without adding throughput,
+    so shedding at a depth of a few device batches is strictly better than
+    an unbounded backlog."""
+
+
 class _Request:
     """One pending scoring unit inside the batcher."""
 
@@ -106,16 +114,21 @@ class MicroBatcher:
         cut: int,
         batch_size: int = 8,
         max_wait_ms: float = 5.0,
+        max_queue: Optional[int] = None,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
         self.batch_score = batch_score
         self.cut = int(cut)
         self.batch_size = int(batch_size)
         self.max_wait_s = max(float(max_wait_ms), 0.0) / 1e3
+        self.max_queue = max_queue  # None = unbounded (library default)
         self.served = 0  # requests completed (healthz/metrics counter)
         self.batches = 0  # device batches run
         self.errors = 0  # requests that failed in scoring
+        self.rejected = 0  # submits shed at max_queue (ServerBusy / 503)
         # worker-time decomposition (healthz/metrics): seconds spent issuing
         # batch_score calls vs blocked on result readback.  Under jax's async
         # dispatch these are the two ends of the pipeline; everything else
@@ -144,8 +157,18 @@ class MicroBatcher:
         with self._submit_lock:
             if self._closed:  # a submit after close() would hang forever
                 raise RuntimeError("MicroBatcher is closed")
+            self._check_backpressure()
             self._q.put(req)
         return req
+
+    def _check_backpressure(self) -> None:
+        # qsize() is exact here: puts are serialized by _submit_lock and the
+        # worker only ever shrinks the queue between our check and put
+        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+            self.rejected += 1
+            raise ServerBusy(
+                f"pending queue at max_queue={self.max_queue}; retry later"
+            )
 
     def submit(self, row: np.ndarray) -> np.ndarray:
         """Score one ``[cut]`` row; blocks, returns the log-prob vector."""
@@ -162,6 +185,7 @@ class MicroBatcher:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            self._check_backpressure()
             self._q.put(req)
         return req.wait()
 
@@ -377,11 +401,14 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     # -- small helpers -----------------------------------------------------------
-    def _json(self, code: int, payload: dict) -> None:
+    def _json(self, code: int, payload: dict,
+              extra_headers: Optional[dict] = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -425,6 +452,9 @@ class _Handler(BaseHTTPRequestHandler):
                 "calibrated": cfg.calibration is not None,
                 "served": b.served,
                 "batches": b.batches,
+                "rejected": b.rejected,
+                "queue_depth": b._q.qsize(),
+                "max_queue": b.max_queue,
                 "dispatch_s": round(b.dispatch_s, 3),
                 "readback_s": round(b.readback_s, 3),
                 "uptime_s": round(time.time() - cfg.started, 3),
@@ -448,6 +478,13 @@ class _Handler(BaseHTTPRequestHandler):
             "# HELP scl_serve_batch_capacity Rows per device batch.",
             "# TYPE scl_serve_batch_capacity gauge",
             f"scl_serve_batch_capacity {b.batch_size}",
+            "# HELP scl_serve_rejected_total Submits shed at max_queue "
+            "(HTTP 503).",
+            "# TYPE scl_serve_rejected_total counter",
+            f"scl_serve_rejected_total {b.rejected}",
+            "# HELP scl_serve_queue_depth Requests waiting in the batcher.",
+            "# TYPE scl_serve_queue_depth gauge",
+            f"scl_serve_queue_depth {b._q.qsize()}",
             "# HELP scl_serve_dispatch_seconds_total Worker seconds issuing "
             "device batches (async dispatch).",
             "# TYPE scl_serve_dispatch_seconds_total counter",
@@ -481,6 +518,9 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(404, {"error": f"no route {self.path!r}"})
         except _ClientError as e:
             return self._json(400, {"error": str(e)})
+        except ServerBusy as e:  # bounded-queue load shedding
+            return self._json(503, {"error": str(e)},
+                              extra_headers={"Retry-After": "1"})
         except RuntimeError as e:  # scoring-side failure
             return self._json(500, {"error": str(e)})
 
@@ -599,6 +639,7 @@ def make_server(
     port: int = 0,
     batch_size: int = 8,
     max_wait_ms: float = 5.0,
+    max_queue: Optional[int] = None,
     padding_type: str = "zero",
     calibration: Optional[Tuple[float, float]] = None,
     long_audio: bool = False,
@@ -606,7 +647,8 @@ def make_server(
 ) -> ScoreServer:
     """Build (but don't run) the HTTP scorer; ``port=0`` binds an ephemeral port."""
     batcher = MicroBatcher(
-        batch_score, cut=cut, batch_size=batch_size, max_wait_ms=max_wait_ms
+        batch_score, cut=cut, batch_size=batch_size, max_wait_ms=max_wait_ms,
+        max_queue=max_queue,
     )
     cfg = ServeConfig(
         cut=cut,
@@ -619,11 +661,29 @@ def make_server(
 
 
 def serve_http(batch_score, **kw) -> int:
-    """CLI entry: build the server, announce the port, run until interrupt."""
+    """CLI entry: build the server, announce the port, run until interrupt.
+
+    SIGTERM (the orchestrator's stop signal) drains gracefully: stop
+    accepting connections, finish in-flight scoring, then exit 0 — so a
+    rolling restart never drops accepted requests."""
+    import signal
     import sys
 
     server = make_server(batch_score, **kw)
     host, port = server.server_address[:2]
+
+    def _drain(signum, frame):
+        print("serve_http: SIGTERM — draining and shutting down",
+              file=sys.stderr)
+        # shutdown() must not be called from the thread running
+        # serve_forever(); the handler runs ON that (main) thread
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _drain)
+    except ValueError:  # not the main thread (library/test use): skip
+        prev = None
+    # banner AFTER the handler: once "listening" prints, SIGTERM is graceful
     print(
         f"serve_http: listening on http://{host}:{port} "
         f"(POST /score, /score_batch; GET /healthz; first forward compiles, "
@@ -635,5 +695,7 @@ def serve_http(batch_score, **kw) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        server.close()
+        server.close()  # joins the batcher worker; in-flight replies land
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
     return 0

@@ -639,3 +639,148 @@ def test_cli_serve_batch_score_data_shards_over_mesh(monkeypatch):
     lp = np.asarray(out)
     one = captured["batch_score"](block[:1].repeat(8, axis=0))
     np.testing.assert_allclose(np.asarray(one)[0], lp[0], atol=1e-5)
+
+
+def test_microbatcher_max_queue_sheds_load():
+    """With max_queue set, submits beyond the bound raise ServerBusy (and
+    count as rejected) instead of growing an unbounded backlog; capacity
+    frees as the worker drains."""
+    from scl_deepfake_audio_detection_tpu.serving import ServerBusy
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow(block):
+        started.set()
+        release.wait(timeout=30)
+        return fake_batch_score(block)
+
+    b = MicroBatcher(slow, cut=CUT, batch_size=1, max_wait_ms=0, max_queue=2)
+    try:
+        row = np.zeros(CUT, np.float32)
+        h1 = b.submit_async(row)  # worker picks this up and blocks
+        assert started.wait(timeout=10)
+        h2 = b.submit_async(row)  # queued (1/2)
+        h3 = b.submit_async(row)  # queued (2/2)
+        with pytest.raises(ServerBusy, match="max_queue"):
+            b.submit_async(row)
+        assert b.rejected == 1
+        release.set()
+        for h in (h1, h2, h3):
+            np.testing.assert_allclose(h.wait(), expected_row(row), atol=1e-6)
+        # queue drained: submits are accepted again
+        np.testing.assert_allclose(b.submit(row), expected_row(row),
+                                   atol=1e-6)
+        assert b.rejected == 1
+    finally:
+        release.set()
+        b.close()
+
+
+def test_http_503_when_queue_full(tmp_path):
+    """A full micro-batcher queue maps to HTTP 503 + Retry-After, and the
+    rejected counter surfaces in /healthz and /metrics."""
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow(block):
+        started.set()
+        release.wait(timeout=60)
+        return fake_batch_score(block)
+
+    server = make_server(slow, cut=CUT, port=0, batch_size=1, max_wait_ms=0,
+                         max_queue=1, padding_type="zero", model_tag="fake")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    p = str(tmp_path / "a.wav")
+    save_wav(p, np.zeros(CUT, np.float32), SR)
+    body = json.dumps({"path": p}).encode()
+    hdr = {"Content-Type": "application/json"}
+    try:
+        results = []
+
+        def post_bg():
+            try:
+                results.append(_post(base + "/score", body, hdr))
+            except urllib.error.HTTPError as e:
+                results.append((e.code, json.loads(e.read())))
+
+        t1 = threading.Thread(target=post_bg)  # occupies the worker
+        t1.start()
+        assert started.wait(timeout=30)
+        t2 = threading.Thread(target=post_bg)  # fills the queue (1/1)
+        t2.start()
+        # wait until the co-rider is actually enqueued
+        for _ in range(100):
+            if json.load(urllib.request.urlopen(
+                    base + "/healthz", timeout=30))["queue_depth"] >= 1:
+                break
+            import time as _t
+            _t.sleep(0.05)
+        try:
+            _post(base + "/score", body, hdr)
+            overflow = None
+        except urllib.error.HTTPError as e:
+            overflow = (e.code, e.headers.get("Retry-After"),
+                        json.loads(e.read()))
+        assert overflow is not None and overflow[0] == 503
+        assert overflow[1] == "1"
+        assert "max_queue" in overflow[2]["error"]
+        release.set()
+        t1.join(timeout=30)
+        t2.join(timeout=30)
+        assert sorted(c for c, _ in results) == [200, 200]
+        h = json.load(urllib.request.urlopen(base + "/healthz", timeout=30))
+        assert h["rejected"] == 1 and h["max_queue"] == 1
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "scl_serve_rejected_total 1" in text
+        assert "scl_serve_queue_depth" in text
+    finally:
+        release.set()
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+def test_serve_http_sigterm_drains(tmp_path):
+    """SIGTERM on the serve_http process drains and exits 0 (graceful
+    rolling-restart behavior)."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _t
+
+    script = tmp_path / "srv.py"
+    script.write_text(
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from scl_deepfake_audio_detection_tpu.serving import serve_http\n"
+        "def score(block):\n"
+        "    return np.zeros((block.shape[0], 2), np.float32)\n"
+        "raise SystemExit(serve_http(score, cut=1000, port=0, batch_size=2))\n"
+        % "/root/repo"
+    )
+    proc = subprocess.Popen([_sys.executable, str(script)],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+    try:
+        # wait for the listening banner (serving.py imports no jax: fast)
+        deadline = _t.monotonic() + 60
+        line = ""
+        while _t.monotonic() < deadline:
+            line = proc.stderr.readline()
+            if "listening on" in line:
+                break
+        assert "listening on" in line, line
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=30)
+        rest = proc.stderr.read()
+        assert rc == 0, rest
+        assert "draining" in rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()
