@@ -32,8 +32,6 @@ def parse_calibration(spec):
 
 
 def _build_model(args, cfg):
-    import jax
-
     from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
     from scl_deepfake_audio_detection_tpu.utils.registry import MODELS
 

@@ -221,6 +221,11 @@ class XLSRConfig:
         base.update(kw)
         return cls(**base)
 
+    @classmethod
+    def preset_names(cls) -> tuple:
+        """Names accepted by ``--ssl_preset`` / ``--teacher_preset``."""
+        return ("xlsr_300m", "xlsr_1b", "xlsr_2b", "student_base", "tiny")
+
     def num_frames(self, num_samples: int) -> int:
         t = num_samples
         for _, k, s in self.conv_layers:

@@ -198,6 +198,23 @@ def test_predict_without_eval_is_usage_error(capsys):
     assert rc == 2
 
 
+def test_ssl_preset_choices_match_the_model_presets():
+    """flags.py hardcodes the --ssl_preset/--teacher_preset choices lists
+    (it must stay importable without jax — cli.analyze dispatches before any
+    heavy import); this pins them to ``XLSRConfig.preset_names()`` so adding
+    a preset without surfacing it (or surfacing a name getattr can't
+    resolve) fails here instead of at a user's command line."""
+    from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+
+    parser = build_parser()
+    by_dest = {a.dest: a for a in parser._actions}
+    want = list(XLSRConfig.preset_names())
+    assert list(by_dest["ssl_preset"].choices) == want
+    assert list(by_dest["teacher_preset"].choices) == want
+    for name in want:  # every surfaced name resolves to a config factory
+        assert callable(getattr(XLSRConfig, name))
+
+
 def test_parse_calibration_errors_are_usage_errors():
     """--calibrate parsing rejects malformed specs with exit code 2 (shared
     helper for serve + export — not a raw float() traceback)."""
