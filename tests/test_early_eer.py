@@ -1,0 +1,142 @@
+"""--early_metric eer: dev-EER early stopping (beyond the reference's
+val-accuracy-only signal, ``main.py:400,418-421`` — EER is the metric the
+task is actually scored on, so stopping/best-checkpointing on it picks the
+checkpoint the eval protocol would pick)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from scl_deepfake_audio_detection_tpu.models.linear_nll import LinearNLL
+from scl_deepfake_audio_detection_tpu.models.xlsr import XLSRConfig
+from scl_deepfake_audio_detection_tpu.parallel import make_mesh
+from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+from scl_deepfake_audio_detection_tpu.train.engine import Engine
+from scl_deepfake_audio_detection_tpu.train.optim import EarlyStop
+from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
+
+
+def _batch(rng, groups=2, views=4, t=3200):
+    return {
+        "wav": rng.normal(size=(groups, views, t)).astype(np.float32),
+        "labels": np.tile(np.array([1, 1, 0, 0], np.float32), (groups, 1)),
+    }
+
+
+def test_earlystop_min_mode():
+    """mode='min' inverts the improvement direction (EER: lower is better)
+    while keeping the reference's patience/delta semantics."""
+    es = EarlyStop(patience=3, delta=0.5, init_best=50.0, mode="min")
+    assert es(48.0)  # improvement: new best
+    assert es.best == 48.0 and es.counter == 0
+    assert not es(48.0)  # within delta: a strike
+    assert not es(47.8)  # still within delta of 48.0
+    assert es.counter == 2 and not es.early_stop
+    assert es(40.0)  # real improvement resets the counter
+    assert es.counter == 0
+    for s in (41.0, 41.0, 41.0):
+        assert not es(s)
+    assert es.early_stop  # 3 strikes
+
+
+def test_earlystop_max_mode_unchanged():
+    """Default mode stays the reference's accuracy semantics."""
+    es = EarlyStop()
+    assert es.best == 90.0
+    assert not es(90.0)
+    assert es(95.0) and es.best == 95.0
+
+
+@pytest.fixture(scope="module")
+def eer_engine():
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    mesh = make_mesh((2, 1))
+    return Engine(
+        model,
+        TrainConfig(max_lr=1e-4, num_epochs=2, early_metric="eer"),
+        mesh=mesh,
+    )
+
+
+def test_fit_eer_metric_records_and_persists(eer_engine, tmp_path):
+    engine = eer_engine
+    params, buffers, opt_state = engine.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    train = [_batch(rng) for _ in range(2)]
+    dev = [_batch(rng) for _ in range(2)]
+    save_dir = str(tmp_path / "out")
+    engine.fit(
+        params, buffers, opt_state,
+        train_batches=lambda: iter(train),
+        dev_batches=lambda: iter(dev),
+        rng_key=jax.random.key(1),
+        save_dir=save_dir,
+    )
+    rows = [json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert len(rows) == 2
+    for r in rows:
+        assert "val_eer" in r and np.isfinite(r["val_eer"])
+        assert 0.0 <= r["val_eer"] <= 100.0
+    # the full-state checkpoint records which metric the watermark tracks,
+    # so a resume under a different --early_metric starts fresh
+    _, extra = ckpt.load(os.path.join(save_dir, "last.ckpt"))
+    assert extra["es_metric"] == "eer"
+    assert np.isfinite(float(extra["best"]))
+
+
+def test_fit_eer_resume_watermark_direction(eer_engine, tmp_path):
+    """In eer mode a resumed watermark restores only if it is LOWER (better)
+    than the fresh init — the accuracy-mode 'restore if higher' rule would
+    discard every real EER watermark."""
+    engine = eer_engine
+    params, buffers, opt_state = engine.init_state(jax.random.key(2))
+    rng = np.random.default_rng(1)
+    batches = [_batch(rng)]
+    save_dir = str(tmp_path / "resume")
+    engine.fit(
+        params, buffers, opt_state,
+        train_batches=lambda: iter(batches),
+        dev_batches=lambda: iter(batches),
+        rng_key=jax.random.key(3),
+        save_dir=save_dir,
+        resume_best=10.0,  # a strong prior EER watermark
+    )
+    _, extra = ckpt.load(os.path.join(save_dir, "last.ckpt"))
+    # a random-init model does not reach 10% dev EER on noise in one epoch:
+    # the restored watermark must survive
+    assert extra["best"] == 10.0
+
+
+def test_fit_acc_mode_unaffected(tmp_path):
+    """Default early_metric='acc' writes no val_eer and keeps es_metric='acc'
+    (reference-parity path byte-compatible with pre-change checkpoints)."""
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    engine = Engine(model, TrainConfig(max_lr=1e-4, num_epochs=1),
+                    mesh=make_mesh((2, 1)))
+    params, buffers, opt_state = engine.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batches = [_batch(rng)]
+    save_dir = str(tmp_path / "acc")
+    engine.fit(
+        params, buffers, opt_state,
+        train_batches=lambda: iter(batches),
+        dev_batches=lambda: iter(batches),
+        rng_key=jax.random.key(1),
+        save_dir=save_dir,
+    )
+    rows = [json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert all("val_eer" not in r for r in rows)
+    _, extra = ckpt.load(os.path.join(save_dir, "last.ckpt"))
+    assert extra.get("es_metric", "acc") == "acc"
+
+
+def test_cli_flag_surface():
+    from scl_deepfake_audio_detection_tpu.cli import build_parser
+
+    by_dest = {a.dest: a for a in build_parser()._actions}
+    a = by_dest["early_metric"]
+    assert a.default == "acc" and list(a.choices) == ["acc", "eer"]
