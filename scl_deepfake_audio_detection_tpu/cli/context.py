@@ -102,6 +102,7 @@ def load_model_state(ctx: RunContext) -> None:
         loss=args.loss,
         grad_clip_norm=args.grad_clip_norm,
         grad_accum_steps=args.grad_accum_steps,
+        early_metric=args.early_metric,
         padding_type=args.padding_type,
         seed=args.seed,
         comment=args.comment,
@@ -238,9 +239,20 @@ def init_state(ctx: RunContext) -> None:
         # EarlyStop patience counter at save time (absent in pre-round-3
         # checkpoints: those resume with a fresh counter)
         ctx.resume_counter = int(ctx.resume_extra.get("es_counter", 0))
+        saved_metric = str(ctx.resume_extra.get("es_metric", "acc"))
+        if saved_metric != args.early_metric:
+            # watermark tracks a different metric (acc↑ vs eer↓): reusing it
+            # under the new direction is meaningless — start the stopper fresh
+            print(f"resume: checkpoint early-stop metric {saved_metric!r} != "
+                  f"--early_metric {args.early_metric!r}; starting the "
+                  f"EarlyStop watermark fresh")
+            ctx.resume_best = None
+            ctx.resume_counter = 0
         if args.start_epoch == 0 and ctx.resume_epoch:
             ctx.train_cfg.start_epoch = ctx.resume_epoch
+            best_str = ("fresh" if ctx.resume_best is None
+                        else f"{ctx.resume_best:.4f}")
             print(f"resuming full train state at epoch {ctx.resume_epoch} "
-                  f"(best so far {ctx.resume_best:.4f})")
+                  f"(best so far {best_str})")
 
     ctx.desc = DATASETS.get(ctx.cfg.data.name)

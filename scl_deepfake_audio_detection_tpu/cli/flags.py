@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="accumulate gradients over N steps before applying "
                         "one optimizer update (optax.MultiSteps)")
+    p.add_argument("--early_metric", type=str, default="acc",
+                   choices=["acc", "eer"],
+                   help="early-stop / best-checkpoint signal: 'acc' is the "
+                        "reference's val accuracy (main.py:400,418-421); "
+                        "'eer' stops on per-epoch dev EER — the metric the "
+                        "eval protocol actually scores")
     # eval modes (reference main.py:247-254)
     p.add_argument("--eval_output", type=str, default=None)
     p.add_argument("--eval", action="store_true", default=False)

@@ -221,10 +221,14 @@ def pack_opt_leaves(opt_state) -> dict:
 def save_train_state(
     path: str, params, opt_state, epoch: int, rng_key, best: float,
     buffers=None, writer: "Optional[AsyncWriter]" = None,
-    es_counter: int = 0,
+    es_counter: int = 0, es_metric: str = "acc",
 ) -> None:
     """Full-state checkpoint: everything needed for exact resume (params,
     optimizer, BN running-stat buffers, epoch, RNG).
+
+    ``es_metric``: which metric the ``best`` watermark tracks ('acc' or
+    'eer') — a resume under a different ``--early_metric`` must not reuse
+    the watermark (the directions differ), so the loader checks this tag.
 
     ``es_counter``: the EarlyStop patience counter at save time — persisted
     so a resumed run stops at exactly the epoch an uninterrupted run would
@@ -241,7 +245,8 @@ def save_train_state(
     }
     if buffers:
         state["buffers"] = buffers
-    extra = {"epoch": epoch, "best": best, "es_counter": int(es_counter)}
+    extra = {"epoch": epoch, "best": best, "es_counter": int(es_counter),
+             "es_metric": str(es_metric)}
     if writer is None:
         save(path, state, extra=extra)
     else:

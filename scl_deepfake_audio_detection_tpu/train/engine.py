@@ -86,11 +86,12 @@ def _loss_and_metrics(params, buffers, model, batch, rng, train, loss_scope: str
     pred = jnp.argmax(out.log_probs, axis=-1)
     acc = jnp.mean((pred == labels.reshape(-1).astype(pred.dtype)).astype(jnp.float32))
     metrics = {"loss": total, "accuracy": acc, **terms}
-    return total, (metrics, new_buffers)
+    return total, (metrics, new_buffers, out)
 
 
 def _train_step(params, buffers, opt_state, batch, rng, *, model, optimizer, loss_scope):
-    (_, (metrics, buffers)), grads = jax.value_and_grad(
+    # the model output in aux is unused here, so XLA dead-code-eliminates it
+    (_, (metrics, buffers, _)), grads = jax.value_and_grad(
         _loss_and_metrics, has_aux=True
     )(params, buffers, model, batch, rng, True, loss_scope)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -99,10 +100,25 @@ def _train_step(params, buffers, opt_state, batch, rng, *, model, optimizer, los
 
 
 def _eval_step(params, buffers, batch, *, model, loss_scope):
-    _, (metrics, _) = _loss_and_metrics(
+    _, (metrics, _, _) = _loss_and_metrics(
         params, buffers, model, batch, None, False, loss_scope
     )
     return metrics
+
+
+def _eval_step_scored(params, buffers, batch, *, model, loss_scope):
+    """Eval step that additionally returns the per-view bonafide score column
+    (``--early_metric eer``): one forward serves both the loss metrics and
+    the score material for the per-epoch dev EER."""
+    from scl_deepfake_audio_detection_tpu.models.base import eval_scores
+
+    _, (metrics, _, out) = _loss_and_metrics(
+        params, buffers, model, batch, None, False, loss_scope
+    )
+    cols = eval_scores(model, out)
+    # score convention matches train/scoring.py: cm[1] = bonafide column
+    score = cols[:, 1] if cols.ndim == 2 else cols.reshape(-1)
+    return metrics, score.astype(jnp.float32), batch["labels"].reshape(-1)
 
 
 def _score_step(params, buffers, wav, *, model):
@@ -115,6 +131,33 @@ def _score_step(params, buffers, wav, *, model):
     # aasist/resnet heads (the reference writes their out_layer output
     # directly — log_softmax here would re-rank scores vs the reference)
     return eval_scores(model, out)
+
+
+def _dev_eer_pct(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Dev EER in percent from per-view bonafide scores (label 1 = bonafide,
+    0 = spoof — protocol convention, ``data/protocols.py``).  NaN when either
+    class is absent (EER undefined — caller treats that as 'no signal')."""
+    from scl_deepfake_audio_detection_tpu.train.metrics import compute_eer
+
+    labels = np.asarray(labels).reshape(-1)
+    scores = np.asarray(scores).reshape(-1)
+    tgt = scores[labels == 1]
+    non = scores[labels == 0]
+    if tgt.size == 0 or non.size == 0:
+        return float("nan")
+    eer, _ = compute_eer(tgt, non)
+    return float(eer) * 100.0
+
+
+def _host_gather(x):
+    """Device array -> host numpy, tolerating multi-process shardings (each
+    process contributes its addressable dev shard; EER over the union is
+    assembled by process_allgather only when the array isn't local)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental.multihost_utils import process_allgather
+
+        return process_allgather(x, tiled=True)
+    return np.asarray(x)
 
 
 class Engine:
@@ -144,6 +187,10 @@ class Engine:
         )
         self.eval_step = jax.jit(
             functools.partial(_eval_step, model=model, loss_scope=scope)
+        )
+        # compiled lazily on first use (--early_metric eer only)
+        self.eval_step_scored = jax.jit(
+            functools.partial(_eval_step_scored, model=model, loss_scope=scope)
         )
         self.score_step = jax.jit(functools.partial(_score_step, model=model))
 
@@ -218,12 +265,32 @@ class Engine:
         return params, buffers, opt_state, agg.result()
 
     def run_validation(
-        self, params, buffers, batches: Iterable[Dict[str, Any]]
-    ) -> Dict[str, float]:
+        self, params, buffers, batches: Iterable[Dict[str, Any]],
+        collect_scores: bool = False,
+    ):
+        """Dev pass.  With ``collect_scores`` (--early_metric eer) the same
+        forward also yields per-view bonafide scores + labels, returned as
+        host arrays: ``(metrics, scores, labels)``."""
         agg = MetricMean()
+        scores, labels = [], []
         for batch in batches:
-            agg.add(self.eval_step(params, buffers, self.place_batch(batch)))
-        return agg.result()
+            placed = self.place_batch(batch)
+            if collect_scores:
+                m, s, l = self.eval_step_scored(params, buffers, placed)
+                agg.add(m)
+                scores.append(s)
+                labels.append(l)
+            else:
+                agg.add(self.eval_step(params, buffers, placed))
+        if not collect_scores:
+            return agg.result()
+        if scores:
+            s = np.concatenate([np.asarray(_host_gather(x)) for x in scores])
+            l = np.concatenate([np.asarray(_host_gather(x)) for x in labels])
+        else:
+            s = np.zeros(0, np.float32)
+            l = np.zeros(0, np.float32)
+        return agg.result(), s, l
 
     def fit(
         self,
@@ -251,10 +318,20 @@ class Engine:
         )
 
         cfg = self.cfg
-        stopper = EarlyStop()
-        if resume_best is not None and resume_best > stopper.best:
-            # restore the checkpoint's best-accuracy watermark so a resumed
-            # run doesn't crown spurious 'best' epochs below the real best
+        es_metric = getattr(cfg, "early_metric", "acc")
+        if es_metric == "eer":
+            # dev EER in percent, lower is better; init 100 means the first
+            # measured epoch always sets the watermark
+            stopper = EarlyStop(init_best=100.0, mode="min")
+        else:
+            stopper = EarlyStop()
+        if resume_best is not None and stopper.is_better(
+            float(resume_best), stopper.best
+        ):
+            # restore the checkpoint's watermark (direction-aware: an EER
+            # watermark restores only if LOWER than the fresh init) so a
+            # resumed run doesn't crown spurious 'best' epochs below the
+            # real best
             stopper.best = float(resume_best)
         if resume_counter:
             # restore the patience counter too, so the resumed run stops at
@@ -294,7 +371,14 @@ class Engine:
                 params, buffers, opt_state, train_m = self.run_epoch(
                     params, buffers, opt_state, train_batches(), epoch_rng
                 )
-            val_m = self.run_validation(params, buffers, dev_batches())
+            val_eer = None
+            if es_metric == "eer":
+                val_m, dev_scores, dev_labels = self.run_validation(
+                    params, buffers, dev_batches(), collect_scores=True
+                )
+                val_eer = _dev_eer_pct(dev_scores, dev_labels)
+            else:
+                val_m = self.run_validation(params, buffers, dev_batches())
             record = {
                 "epoch": epoch,
                 "lr": lr,
@@ -302,6 +386,8 @@ class Engine:
                 **{f"train_{k}": v for k, v in train_m.items()},
                 **{f"val_{k}": v for k, v in val_m.items()},
             }
+            if val_eer is not None:
+                record["val_eer"] = val_eer
             if metrics_path:
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(record) + "\n")
@@ -309,7 +395,11 @@ class Engine:
             if log_fn:
                 log_fn(epoch, record)
 
-            if val_m:
+            if es_metric == "eer":
+                # no dev trials (or single-class shard): no signal — same
+                # never-stop-on-silence rule as the empty-val case below
+                is_best = stopper(val_eer) if np.isfinite(val_eer) else False
+            elif val_m:
                 is_best = stopper(val_m.get("accuracy", 0.0) * 100.0)
             else:
                 # no dev batches (e.g. a pod shard trimming a tiny dev list
@@ -332,14 +422,14 @@ class Engine:
                         os.path.join(save_dir, "last.ckpt"),
                         params, opt_state, epoch, rng_key, stopper.best,
                         buffers=buffers, writer=writer,
-                        es_counter=stopper.counter,
+                        es_counter=stopper.counter, es_metric=es_metric,
                     )
                 if is_best:
                     ckpt.save_train_state(
                         os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
                         params, opt_state, epoch, rng_key, stopper.best,
                         buffers=buffers, writer=writer,
-                        es_counter=stopper.counter,
+                        es_counter=stopper.counter, es_metric=es_metric,
                     )
             if stopper.early_stop:
                 break

@@ -80,20 +80,35 @@ def set_learning_rate(opt_state, lr: float):
 
 
 class EarlyStop:
-    """Early stopping on validation accuracy (reference ``main.py:23-45``):
+    """Early stopping on a validation metric (reference ``main.py:23-45``):
     patience 10, delta 0.01, initial best 90.0; triggers a save callback on
-    each new best."""
+    each new best.
 
-    def __init__(self, patience: int = 10, delta: float = 0.01, init_best: float = 90.0):
+    ``mode``: ``"max"`` is the reference's accuracy semantics (higher is
+    better); ``"min"`` inverts the improvement direction for metrics like
+    dev EER where lower is better (``--early_metric eer``), keeping the
+    same patience/delta strike rules."""
+
+    def __init__(self, patience: int = 10, delta: float = 0.01,
+                 init_best: float = 90.0, mode: str = "max"):
+        if mode not in ("max", "min"):
+            raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
         self.patience = patience
         self.delta = delta
         self.best = init_best
+        self.mode = mode
         self.counter = 0
         self.early_stop = False
 
+    def is_better(self, score: float, than: float) -> bool:
+        """Direction-aware strict improvement beyond delta."""
+        if self.mode == "min":
+            return score < than - self.delta
+        return score > than + self.delta
+
     def __call__(self, score: float) -> bool:
         """Returns True when ``score`` is a new best (caller should save)."""
-        if score > self.best + self.delta:
+        if self.is_better(score, self.best):
             self.best = score
             self.counter = 0
             return True

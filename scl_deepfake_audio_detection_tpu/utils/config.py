@@ -138,6 +138,10 @@ class TrainConfig:
     async_ckpt: bool = True  # overlap the checkpoint npz/disk write with the
     # next epoch (device->host gather stays synchronous: the jitted step
     # donates its buffers, and ZeRO-1 gathers are collectives)
+    early_metric: str = "acc"  # early-stop / best-checkpoint signal: 'acc'
+    # is the reference's val accuracy (main.py:400,418-421); 'eer' stops on
+    # per-epoch dev EER instead — the metric the eval protocol actually
+    # scores, so best-checkpointing tracks the checkpoint eval would pick
 
     def model_tag(self) -> str:
         # Output dir naming scheme: model_{loss}_{epochs}_{bs}_{minlr}[_{comment}]

@@ -54,7 +54,7 @@ def test_earlystop_max_mode_unchanged():
 @pytest.fixture(scope="module")
 def eer_engine():
     model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
-    mesh = make_mesh((2, 1))
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
     return Engine(
         model,
         TrainConfig(max_lr=1e-4, num_epochs=2, early_metric="eer"),
@@ -116,7 +116,7 @@ def test_fit_acc_mode_unaffected(tmp_path):
     (reference-parity path byte-compatible with pre-change checkpoints)."""
     model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
     engine = Engine(model, TrainConfig(max_lr=1e-4, num_epochs=1),
-                    mesh=make_mesh((2, 1)))
+                    mesh=make_mesh((2, 1), devices=jax.devices()[:2]))
     params, buffers, opt_state = engine.init_state(jax.random.key(0))
     rng = np.random.default_rng(0)
     batches = [_batch(rng)]
