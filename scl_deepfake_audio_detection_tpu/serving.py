@@ -434,9 +434,14 @@ class _Handler(BaseHTTPRequestHandler):
         cfg: ServeConfig = self.server.cfg  # type: ignore[attr-defined]
         # a GET may legally carry a body (Content-Length set); replying
         # without draining it would desync a keep-alive stream, same as the
-        # POST 404 route — no GET route here reads a body, so close instead
-        if int(self.headers.get("Content-Length") or 0):
+        # POST 404 route.  Drain small bodies so the reply lands before the
+        # socket closes (closing with unread receive data can RST and discard
+        # the queued response); fall back to close for oversized ones.
+        n_body = int(self.headers.get("Content-Length") or 0)
+        if n_body:
             self.close_connection = True
+            if n_body <= 64 * 1024:
+                self.rfile.read(n_body)
         if self.path == "/metrics":
             return self._metrics(b, cfg)
         if self.path != "/healthz":
@@ -512,9 +517,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._score_one(batcher, cfg)
             if self.path == "/score_batch":
                 return self._score_batch(batcher, cfg)
-            # 404 without reading the body: close so leftover body bytes
-            # can't be parsed as the next request on this connection
+            # 404: close so leftover body bytes can't be parsed as the next
+            # request on this connection; drain small bodies first so the
+            # close can't RST away the queued 404 reply
             self.close_connection = True
+            n_body = int(self.headers.get("Content-Length") or 0)
+            if n_body and n_body <= 64 * 1024:
+                self.rfile.read(n_body)
             return self._json(404, {"error": f"no route {self.path!r}"})
         except _ClientError as e:
             return self._json(400, {"error": str(e)})

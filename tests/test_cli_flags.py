@@ -22,6 +22,8 @@ import pytest
 
 from scl_deepfake_audio_detection_tpu.cli import build_parser
 
+pytestmark = pytest.mark.smoke  # compile-light fast tier (scripts/check.sh gate)
+
 REF_MAIN = Path("/root/reference/main.py")
 
 # Flags whose defaults deliberately differ, with the reason (documented here

@@ -9,6 +9,8 @@ from scl_deepfake_audio_detection_tpu.utils import (
 
 from conftest import REFERENCE, requires_reference
 
+pytestmark = pytest.mark.smoke  # compile-light fast tier (scripts/check.sh gate)
+
 
 @requires_reference
 def test_load_reference_conf3_yaml():

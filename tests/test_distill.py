@@ -21,6 +21,8 @@ from scl_deepfake_audio_detection_tpu.train.distill import (
 )
 from scl_deepfake_audio_detection_tpu.train.optim import set_learning_rate
 
+pytestmark = pytest.mark.slow  # heavy family: excluded from the smoke gate
+
 
 def test_kld_on_log_probs_equals_kld_on_logits(rng):
     """Models emit log-softmax outputs; feeding them to the temperature KLD

@@ -37,6 +37,54 @@ def _batch(rng, groups=2, views=6, t=2000):
     return {"wav": wavs, "labels": labels}
 
 
+def test_bn_head_training_learns_to_eer_bound():
+    """Falsifiable learning proof for the BatchNorm-head family (reference
+    ``model/wav2vec2_resnet.py:56-150``): sync-free batch stats under dp, the
+    separate buffers pytree, and the raw-logit score path could each silently
+    stop learning while passing every shape test.  Train XLSRResNet (tiny
+    SSL, pure-CE loss_type 4) on the separable tone/noise task and assert
+    the trained model's EER on fresh data separates from the untrained one
+    (which scores near chance on the same batch)."""
+    from scl_deepfake_audio_detection_tpu.models.resnet import XLSRResNet
+    from scl_deepfake_audio_detection_tpu.train.engine import _dev_eer_pct
+
+    model = XLSRResNet(ssl=XLSRConfig.tiny(remat=True), loss_type=4)
+    engine = Engine(model, TrainConfig(max_lr=2e-3),
+                    mesh=make_mesh((2, 1), devices=jax.devices()[:2]))
+    params, buffers, opt = engine.init_state(jax.random.key(0))
+    opt = set_learning_rate(opt, 2e-3)
+
+    test = _batch(np.random.default_rng(123))
+
+    def dev_eer(p, b):
+        _, s, l = engine.eval_step_scored(p, b, engine.place_batch(test))
+        return _dev_eer_pct(np.asarray(s), np.asarray(l))
+
+    eer_untrained = dev_eer(params, buffers)
+    buffers0 = jax.tree.map(np.asarray, buffers)
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(30):
+        batch = engine.place_batch(_batch(rng))
+        params, buffers, opt, m = engine.train_step(
+            params, buffers, opt, batch, jax.random.fold_in(jax.random.key(1), i)
+        )
+        losses.append(float(m["loss"]))
+    eer_trained = dev_eer(params, buffers)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    # the falsifiable bound: an untrained BN head scores near chance on this
+    # batch; training must drive dev EER to (near-)zero on the easy task
+    assert eer_trained <= 10.0, (eer_trained, eer_untrained)
+    assert eer_untrained - eer_trained >= 15.0, (eer_trained, eer_untrained)
+    # BN running stats must actually have moved during training (a frozen
+    # buffers pytree would mean eval normalizes with init stats)
+    moved = any(
+        float(np.max(np.abs(np.asarray(b) - b0))) > 1e-6
+        for b, b0 in zip(jax.tree.leaves(buffers), jax.tree.leaves(buffers0))
+    )
+    assert moved, "BN running stats never updated"
+
+
 @pytest.mark.parametrize("loss_type", [1, 4])
 def test_training_learns_synthetic_task(loss_type):
     """loss_type 4 (pure CE) must solve the task; loss_type 1 (CE + two

@@ -17,6 +17,8 @@ from scl_deepfake_audio_detection_tpu.train.metrics import (
 
 from conftest import REFERENCE, requires_reference
 
+pytestmark = pytest.mark.smoke  # compile-light fast tier (scripts/check.sh gate)
+
 
 def test_eer_perfect_separation():
     eer, thr = compute_eer(np.array([1.0, 2.0, 3.0]), np.array([-3.0, -2.0, -1.0]))
@@ -92,6 +94,7 @@ def test_load_scores_auto_detects_format():
 # ---------------------------------------------------------------------------
 
 from scl_deepfake_audio_detection_tpu.train.metrics import (  # noqa: E402
+
     TDCF_COSTS_ASVSPOOF19,
     asv_error_rates,
     min_tdcf,

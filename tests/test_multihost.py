@@ -23,6 +23,8 @@ import pytest
 
 from scl_deepfake_audio_detection_tpu.utils.audio_io import save_wav
 
+pytestmark = pytest.mark.slow  # heavy family: excluded from the smoke gate
+
 SR = 16000
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -9,6 +9,10 @@ from scl_deepfake_audio_detection_tpu.data.protocols import (
 )
 
 from conftest import REFERENCE, requires_reference
+import pytest
+
+
+pytestmark = pytest.mark.smoke  # compile-light fast tier (scripts/check.sh gate)
 
 
 @requires_reference

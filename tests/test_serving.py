@@ -21,6 +21,8 @@ from scl_deepfake_audio_detection_tpu.serving import (
 )
 from scl_deepfake_audio_detection_tpu.utils.audio_io import load_audio, save_wav
 
+pytestmark = pytest.mark.slow  # heavy family: excluded from the smoke gate
+
 CUT = 1000
 SR = 16000
 

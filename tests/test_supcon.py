@@ -13,6 +13,8 @@ from scl_deepfake_audio_detection_tpu.ops.supcon import (
     supcon_loss,
 )
 
+pytestmark = pytest.mark.smoke  # compile-light fast tier (scripts/check.sh gate)
+
 
 def supcon_numpy(feat, labels, t=0.07, mode="all"):
     """Slow, explicit re-derivation: loops over anchors/contrasts."""

@@ -9,6 +9,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.smoke  # compile-light fast tier (scripts/check.sh gate)
+
 _SPEC = importlib.util.spec_from_file_location(
     "summarize_trace",
     Path(__file__).resolve().parents[1] / "scripts" / "summarize_trace.py",
