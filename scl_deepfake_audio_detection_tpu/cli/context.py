@@ -65,6 +65,13 @@ def build_runtime(args) -> RunContext:
                 coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
+                # the shutdown barrier must outlast the spread between the
+                # fastest and slowest process; uneven eval shards mean the
+                # stragglers compile extra (remainder-batch) programs, which
+                # on cold caches can exceed jax's 300 s default
+                shutdown_timeout_seconds=int(
+                    os.environ.get("SCL_SHUTDOWN_TIMEOUT_S", "900")
+                ),
             )
         else:
             try:

@@ -19,6 +19,7 @@ no hand-written collectives on the training path.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional, Sequence, Tuple
 
@@ -94,9 +95,50 @@ def param_pspecs(params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+_cluster_synced = False
+
+
+def _sync_cluster_once(mesh: Mesh) -> None:
+    """Absorb multi-process startup skew before the FIRST cross-process
+    placement.
+
+    Between ``jax.distributed.initialize`` and the first collective, every
+    process independently imports model code, builds loaders and compiles —
+    tens of seconds each, and on busy hosts the spread between the fastest
+    and slowest process can exceed the CPU collectives backend's fixed ~30 s
+    rendezvous timeout ("Gloo context initialization failed:
+    DEADLINE_EXCEEDED", observed on the 4-process cluster test under load).
+    A coordination-service barrier has a *configurable* deadline, so meeting
+    there once lets the skewed processes re-lockstep before any collective
+    rendezvous starts.  No-op on single-process runs and process-local
+    meshes (multihost eval shards onto per-host meshes and never crosses
+    processes)."""
+    global _cluster_synced
+    if _cluster_synced or jax.process_count() == 1:
+        return
+    pidx = jax.process_index()
+    if all(d.process_index == pidx for d in mesh.devices.flat):
+        return  # process-local mesh: no cross-process rendezvous follows
+    _cluster_synced = True
+    try:  # private API; best-effort skew absorber, never load-bearing
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(
+                "scl_first_collective",
+                timeout_in_ms=int(
+                    os.environ.get("SCL_SHUTDOWN_TIMEOUT_S", "900")
+                ) * 1000,
+            )
+    except Exception:
+        pass
+
+
 def shard_params(params, mesh: Mesh):
     """Place params on the mesh per the TP rules (no-op layout-wise on a
     1-device mesh, but establishes the shardings jit propagates from)."""
+    _sync_cluster_once(mesh)
     specs = param_pspecs(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
@@ -199,6 +241,7 @@ def shard_batch(batch, mesh: Mesh):
     the global array is assembled with
     ``jax.make_array_from_process_local_data``.
     """
+    _sync_cluster_once(mesh)
     data_size = mesh.shape.get("data", 1)
     # A mesh made only of this process's devices (e.g. the --multihost eval
     # path builds a per-process local mesh, cli.py) behaves exactly like the

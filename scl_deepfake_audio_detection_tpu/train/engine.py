@@ -308,9 +308,11 @@ class Engine:
         resume_counter: Optional[int] = None,
     ):
         """Full training run with per-epoch cyclic LR, early stop on dev
-        accuracy, best-checkpoint saving, JSONL metrics, optional tensorboard
-        scalars and a first-epoch device profile
-        (reference flow: ``main.py:397-423`` + tensorboardX scalars :407-414).
+        accuracy (or dev EER with ``cfg.early_metric='eer'`` — the metric
+        the eval protocol actually scores), best-checkpoint saving, JSONL
+        metrics, optional tensorboard scalars and a first-epoch device
+        profile (reference flow: ``main.py:397-423`` + tensorboardX scalars
+        :407-414; the reference stops on val accuracy only, :400,418-421).
         """
         from scl_deepfake_audio_detection_tpu.train.tblog import (
             ScalarWriter,

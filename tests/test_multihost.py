@@ -91,6 +91,10 @@ def _cli_code(db, argv_tail: str) -> str:
         "from scl_deepfake_audio_detection_tpu.cli import main\n"
         "sys.exit(main(["
         f"'--config', r'{db}/cfg.yaml', '--database_path', r'{db}/',"
+        # share the suite's persistent compile cache: N cluster processes
+        # all cold-compiling the same programs serially on this 1-core host
+        # is what pushed the straggler spread past the shutdown barrier
+        "'--jax_cache', '/tmp/scl_tpu_jax_cache',"
         f"{argv_tail}]))\n"
     )
 
@@ -165,6 +169,35 @@ def test_two_process_multihost_train(mh_db, tmp_path):
     # collective save: exactly one checkpoint tree, written by process 0
     _assert_identical_trajectory(outs)
     _assert_single_checkpoint(out_dir)
+
+
+def test_two_process_multihost_train_eer_metric(mh_db, tmp_path):
+    """--early_metric eer on a real 2-process cluster: the dev score/label
+    arrays are sharded across processes, so the per-epoch EER assembly must
+    run process_allgather (engine._host_gather) as a collective on every
+    process — a single-host test can't exercise that path."""
+    import glob
+    import json
+
+    out_dir = str(tmp_path / "out_eer")
+    outs = _launch_cluster(2, _cli_code(mh_db, (
+        "'--batch_size', '2', '--groups_per_step', '2', '--num_epochs', '1',"
+        "'--seed', '7', '--ssl_preset', 'tiny', '--num_workers', '1',"
+        f"'--out_dir', r'{out_dir}', '--multihost', '--zero1',"
+        "'--early_metric', 'eer'"
+    )), _free_port(), timeout=540, devices_per_proc=2)
+    _assert_identical_trajectory(outs)
+    ck = _assert_single_checkpoint(out_dir)
+    from scl_deepfake_audio_detection_tpu.train import checkpoint as ckpt
+
+    _, extra = ckpt.load(ck)
+    assert extra["es_metric"] == "eer"
+    mfile = glob.glob(out_dir + "/**/metrics.jsonl", recursive=True)
+    assert len(mfile) == 1  # process 0 only
+    rows = [json.loads(ln) for ln in open(mfile[0])]
+    assert rows and all(
+        "val_eer" in r and np.isfinite(r["val_eer"]) for r in rows
+    ), rows
 
 
 def test_two_process_multihost_eval_part_files(mh_db, tmp_path):
