@@ -125,11 +125,16 @@ def _sync_cluster_once(mesh: Mesh) -> None:
 
         client = distributed.global_state.client
         if client is not None:
+            # own knob (falls back to the shutdown-barrier setting, then
+            # 900 s): an operator shortening SCL_SHUTDOWN_TIMEOUT_S for
+            # fail-fast crash handling must not silently shrink the
+            # startup-skew window this barrier exists to widen
+            timeout_s = int(os.environ.get(
+                "SCL_STARTUP_BARRIER_TIMEOUT_S",
+                os.environ.get("SCL_SHUTDOWN_TIMEOUT_S", "900"),
+            ))
             client.wait_at_barrier(
-                "scl_first_collective",
-                timeout_in_ms=int(
-                    os.environ.get("SCL_SHUTDOWN_TIMEOUT_S", "900")
-                ) * 1000,
+                "scl_first_collective", timeout_in_ms=timeout_s * 1000
             )
     except Exception:
         pass

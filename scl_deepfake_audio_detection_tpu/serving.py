@@ -395,6 +395,13 @@ def _decode_upload(body: bytes, suffix: str) -> np.ndarray:
 class _Handler(BaseHTTPRequestHandler):
     server_version = "SCLServe/1.0"
     protocol_version = "HTTP/1.1"
+    # per-socket-op deadline (StreamRequestHandler.setup -> settimeout):
+    # bounds every body read/reply write so a client that advertises
+    # Content-Length but never sends the bytes (slow-loris) can't park a
+    # handler thread forever; handle_one_request treats a timed-out
+    # keep-alive wait as a normal close.  Applies per read/write, not to the
+    # whole request, so slow-but-moving uploads are unaffected.
+    timeout = 60
 
     # quiet the default per-request stderr lines (the server stays scriptable)
     def log_message(self, fmt, *args):  # noqa: D102
@@ -428,20 +435,25 @@ class _Handler(BaseHTTPRequestHandler):
             )
         return self.rfile.read(n) if n else b""
 
+    # routes that never read their body still must not close the socket
+    # with receive data pending (the close can RST away the queued reply):
+    # drain small bodies, give up on oversized ones
+    DRAIN_CAP = 64 * 1024
+
+    def _drain_body(self) -> None:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n:
+            self.close_connection = True
+            if n <= self.DRAIN_CAP:
+                self.rfile.read(n)
+
     # -- endpoints ---------------------------------------------------------------
     def do_GET(self):  # noqa: N802
         b: MicroBatcher = self.server.batcher  # type: ignore[attr-defined]
         cfg: ServeConfig = self.server.cfg  # type: ignore[attr-defined]
-        # a GET may legally carry a body (Content-Length set); replying
-        # without draining it would desync a keep-alive stream, same as the
-        # POST 404 route.  Drain small bodies so the reply lands before the
-        # socket closes (closing with unread receive data can RST and discard
-        # the queued response); fall back to close for oversized ones.
-        n_body = int(self.headers.get("Content-Length") or 0)
-        if n_body:
-            self.close_connection = True
-            if n_body <= 64 * 1024:
-                self.rfile.read(n_body)
+        # a GET may legally carry a body (Content-Length set); no GET route
+        # here reads one — drain it (_drain_body) so the reply lands cleanly
+        self._drain_body()
         if self.path == "/metrics":
             return self._metrics(b, cfg)
         if self.path != "/healthz":
@@ -517,13 +529,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._score_one(batcher, cfg)
             if self.path == "/score_batch":
                 return self._score_batch(batcher, cfg)
-            # 404: close so leftover body bytes can't be parsed as the next
-            # request on this connection; drain small bodies first so the
-            # close can't RST away the queued 404 reply
-            self.close_connection = True
-            n_body = int(self.headers.get("Content-Length") or 0)
-            if n_body and n_body <= 64 * 1024:
-                self.rfile.read(n_body)
+            # 404 without dispatching: drain the unread body (_drain_body)
+            # so the close can't RST away the queued 404 reply
+            self._drain_body()
             return self._json(404, {"error": f"no route {self.path!r}"})
         except _ClientError as e:
             return self._json(400, {"error": str(e)})

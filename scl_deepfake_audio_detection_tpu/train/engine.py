@@ -284,9 +284,9 @@ class Engine:
                 agg.add(self.eval_step(params, buffers, placed))
         if not collect_scores:
             return agg.result()
-        if scores:
-            s = np.concatenate([np.asarray(_host_gather(x)) for x in scores])
-            l = np.concatenate([np.asarray(_host_gather(x)) for x in labels])
+        if scores:  # _host_gather returns host numpy on both branches
+            s = np.concatenate([_host_gather(x) for x in scores])
+            l = np.concatenate([_host_gather(x) for x in labels])
         else:
             s = np.zeros(0, np.float32)
             l = np.zeros(0, np.float32)
@@ -389,7 +389,11 @@ class Engine:
                 **{f"val_{k}": v for k, v in val_m.items()},
             }
             if val_eer is not None:
-                record["val_eer"] = val_eer
+                # a single-class dev shard has no EER; write JSON null, not
+                # the bare NaN token (which strict parsers reject)
+                record["val_eer"] = (
+                    val_eer if np.isfinite(val_eer) else None
+                )
             if metrics_path:
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(record) + "\n")
