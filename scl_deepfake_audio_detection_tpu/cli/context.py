@@ -110,6 +110,8 @@ def load_model_state(ctx: RunContext) -> None:
         grad_clip_norm=args.grad_clip_norm,
         grad_accum_steps=args.grad_accum_steps,
         early_metric=args.early_metric,
+        es_patience=args.es_patience,
+        es_delta=args.es_delta,
         padding_type=args.padding_type,
         seed=args.seed,
         comment=args.comment,

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's val accuracy (main.py:400,418-421); "
                         "'eer' stops on per-epoch dev EER — the metric the "
                         "eval protocol actually scores")
+    p.add_argument("--es_patience", type=int, default=10,
+                   help="early-stop strikes before training halts "
+                        "(reference hardcodes 10, main.py:26)")
+    p.add_argument("--es_delta", type=float, default=0.01,
+                   help="minimum metric improvement that resets the "
+                        "early-stop counter (reference hardcodes 0.01)")
     # eval modes (reference main.py:247-254)
     p.add_argument("--eval_output", type=str, default=None)
     p.add_argument("--eval", action="store_true", default=False)

@@ -321,12 +321,16 @@ class Engine:
 
         cfg = self.cfg
         es_metric = getattr(cfg, "early_metric", "acc")
+        es_kw = dict(
+            patience=int(getattr(cfg, "es_patience", 10)),
+            delta=float(getattr(cfg, "es_delta", 0.01)),
+        )
         if es_metric == "eer":
             # dev EER in percent, lower is better; init 100 means the first
             # measured epoch always sets the watermark
-            stopper = EarlyStop(init_best=100.0, mode="min")
+            stopper = EarlyStop(init_best=100.0, mode="min", **es_kw)
         else:
-            stopper = EarlyStop()
+            stopper = EarlyStop(**es_kw)
         if resume_best is not None and stopper.is_better(
             float(resume_best), stopper.best
         ):

@@ -142,6 +142,9 @@ class TrainConfig:
     # is the reference's val accuracy (main.py:400,418-421); 'eer' stops on
     # per-epoch dev EER instead — the metric the eval protocol actually
     # scores, so best-checkpointing tracks the checkpoint eval would pick
+    es_patience: int = 10  # strikes before the stop (reference main.py:26)
+    es_delta: float = 0.01  # minimum improvement that resets the counter
+    # (reference main.py:27); both apply to either early_metric direction
 
     def model_tag(self) -> str:
         # Output dir naming scheme: model_{loss}_{epochs}_{bs}_{minlr}[_{comment}]

@@ -140,3 +140,33 @@ def test_cli_flag_surface():
     by_dest = {a.dest: a for a in build_parser()._actions}
     a = by_dest["early_metric"]
     assert a.default == "acc" and list(a.choices) == ["acc", "eer"]
+    # the reference hardcodes patience 10 / delta 0.01 (main.py:26-27);
+    # the knobs default to parity and are CLI-tunable
+    assert by_dest["es_patience"].default == 10
+    assert by_dest["es_delta"].default == 0.01
+
+
+def test_fit_respects_es_patience(tmp_path):
+    """cfg.es_patience=1: one non-improving epoch ends the run (the
+    reference would always strike 10 times, main.py:26)."""
+    model = LinearNLL(ssl=XLSRConfig.tiny(), emb_dim=16)
+    engine = Engine(
+        model,
+        TrainConfig(max_lr=1e-4, num_epochs=4, es_patience=1),
+        mesh=make_mesh((2, 1), devices=jax.devices()[:2]),
+    )
+    params, buffers, opt_state = engine.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batches = [_batch(rng)]
+    save_dir = str(tmp_path / "pat")
+    engine.fit(
+        params, buffers, opt_state,
+        train_batches=lambda: iter(batches),
+        dev_batches=lambda: iter(batches),
+        rng_key=jax.random.key(1),
+        save_dir=save_dir,
+    )
+    # random-init accuracy never beats the 90.0 watermark: epoch 0 is the
+    # single allowed strike, so exactly one epoch trains
+    rows = open(os.path.join(save_dir, "metrics.jsonl")).read().splitlines()
+    assert len(rows) == 1, rows
