@@ -19,6 +19,8 @@ from scl_deepfake_audio_detection_tpu.train.engine import Engine
 from scl_deepfake_audio_detection_tpu.train.optim import EarlyStop
 from scl_deepfake_audio_detection_tpu.utils.config import TrainConfig
 
+pytestmark = pytest.mark.smoke  # fast warm (~17 s); pins the r5 eer feature
+
 
 def _batch(rng, groups=2, views=4, t=3200):
     return {
