@@ -188,12 +188,15 @@ def run(args, ctx: RunContext) -> int:
         return _run_distill(args, ctx, train_batches, save_dir)
 
     def log_fn(epoch, record):
+        eer = record.get("val_eer")  # present under --early_metric eer;
+        # None when a single-class dev shard makes EER undefined
+        eer_s = f"val_eer={eer:.2f}% " if isinstance(eer, float) else ""
         print(
             f"epoch {epoch}: lr={record['lr']:.3g} "
             f"train_loss={record.get('train_loss', float('nan')):.4f} "
             f"val_loss={record.get('val_loss', float('nan')):.4f} "
             f"val_acc={record.get('val_accuracy', float('nan')):.4f} "
-            f"({record['seconds']:.1f}s)"
+            f"{eer_s}({record['seconds']:.1f}s)"
         )
 
     t0 = time.time()
